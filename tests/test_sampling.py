@@ -1,0 +1,120 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpuseg.ops import sampling as S
+
+
+def np_roi_align(feat_bhwc, rois, batch_idx, p, scale, ratio, aligned=False):
+    """Golden reimplementation of ROIAlign_cuda.cu forward."""
+    b, h, w, c = feat_bhwc.shape
+    n = len(rois)
+    out = np.zeros((n, p, p, c), np.float64)
+    off = 0.5 if aligned else 0.0
+    for i in range(n):
+        img = feat_bhwc[batch_idx[i]].astype(np.float64)
+        x1, y1, x2, y2 = rois[i] * scale - off
+        rw, rh = x2 - x1, y2 - y1
+        if not aligned:
+            rw, rh = max(rw, 1.0), max(rh, 1.0)
+        bw, bh = rw / p, rh / p
+        for py in range(p):
+            for px in range(p):
+                acc = np.zeros(c)
+                for sy in range(ratio):
+                    for sx in range(ratio):
+                        y = y1 + (py + (sy + 0.5) / ratio) * bh
+                        x = x1 + (px + (sx + 0.5) / ratio) * bw
+                        if y < -1.0 or y > h or x < -1.0 or x > w:
+                            continue
+                        y = min(max(y, 0.0), h - 1)
+                        x = min(max(x, 0.0), w - 1)
+                        y0, x0 = int(np.floor(y)), int(np.floor(x))
+                        y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                        ly, lx = y - y0, x - x0
+                        acc += (
+                            (1 - ly) * (1 - lx) * img[y0, x0]
+                            + (1 - ly) * lx * img[y0, x1i]
+                            + ly * (1 - lx) * img[y1i, x0]
+                            + ly * lx * img[y1i, x1i]
+                        )
+                out[i, py, px] = acc / (ratio * ratio)
+    return out.astype(np.float32)
+
+
+def test_roi_align_matches_golden(rng):
+    feat = rng.standard_normal((2, 24, 32, 8)).astype(np.float32)
+    n = 13
+    xy = rng.uniform(-10, 120, (n, 2))
+    wh = rng.uniform(2, 100, (n, 2))
+    rois = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    bi = rng.integers(0, 2, n).astype(np.int32)
+    for aligned in (False, True):
+        got = np.asarray(
+            S.roi_align(
+                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+                output_size=7, spatial_scale=0.25, sampling_ratio=2,
+                aligned=aligned, chunk=8,
+            )
+        )
+        want = np_roi_align(feat, rois, bi, 7, 0.25, 2, aligned)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_pool_basic():
+    # 1 image, 1 channel, ramp feature; roi covering a known region
+    h, w = 16, 16
+    feat = np.arange(h * w, dtype=np.float32).reshape(1, h, w, 1)
+    rois = np.array([[0.0, 0.0, 15.0, 15.0]], np.float32)
+    out = np.asarray(
+        S.roi_pool(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray([0]),
+            output_size=4, spatial_scale=1.0, chunk=1,
+        )
+    )[0, :, :, 0]
+    # each 4x4 bin's max is its bottom-right cell
+    want = np.array(
+        [[feat[0, by * 4 + 3, bx * 4 + 3, 0] for bx in range(4)] for by in range(4)]
+    )
+    np.testing.assert_allclose(out, want)
+
+
+def test_grid_sample_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    feat = rng.standard_normal((2, 10, 14, 3)).astype(np.float32)
+    grid = rng.uniform(-1.3, 1.3, (2, 6, 5, 2)).astype(np.float32)
+    for ac in (False, True):
+        got = np.asarray(
+            S.grid_sample(jnp.asarray(feat), jnp.asarray(grid), align_corners=ac)
+        )
+        want = (
+            F.grid_sample(
+                torch.from_numpy(feat).permute(0, 3, 1, 2),
+                torch.from_numpy(grid),
+                mode="bilinear", padding_mode="zeros", align_corners=ac,
+            )
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_affine_grid_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    theta = rng.standard_normal((3, 2, 3)).astype(np.float32)
+    for ac in (False, True):
+        got = np.asarray(S.affine_grid(jnp.asarray(theta), 8, 6, align_corners=ac))
+        want = F.affine_grid(
+            torch.from_numpy(theta), (3, 1, 8, 6), align_corners=ac
+        ).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_affine_align_shapes(rng):
+    feat = rng.standard_normal((2, 32, 32, 4)).astype(np.float32)
+    theta = rng.standard_normal((2, 5, 2, 3)).astype(np.float32) * 0.5
+    out = S.affine_align(jnp.asarray(feat), jnp.asarray(theta), 16)
+    assert out.shape == (2, 5, 16, 16, 4)
