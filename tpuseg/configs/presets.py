@@ -1,0 +1,77 @@
+"""Named model presets.
+
+Mirrors the reference's selectable config names: YOLACT's
+``--config=yolact_base_config`` chains (Yolact.jittor data/config.py,
+README.md:125-136) and detectron's YAML files (configs/maskrcnn_benchmark/
+*.yaml, README.md:263-284). Presets are ConfigNodes registered by name;
+``.copy({...})`` inheritance matches the reference's Config.copy chains.
+"""
+from __future__ import annotations
+
+from tpuseg.engine.config import ConfigNode, register_config
+
+# ---------------------------------------------------------------------------
+# ViT (ViT.jittor)
+# ---------------------------------------------------------------------------
+
+vit_b16_config = register_config(
+    "vit_b16_config",
+    ConfigNode(
+        {
+            "name": "vit_b16",
+            "model": "vit",
+            "image_size": 224,
+            "patch_size": 16,
+            "hidden_size": 768,
+            "num_layers": 12,
+            "num_heads": 12,
+            "mlp_dim": 3072,
+            "num_classes": 1000,
+        }
+    ),
+)
+
+vit_l16_config = register_config(
+    "vit_l16_config",
+    vit_b16_config.copy(
+        {
+            "name": "vit_l16",
+            "hidden_size": 1024,
+            "num_layers": 24,
+            "num_heads": 16,
+            "mlp_dim": 4096,
+        }
+    ),
+)
+
+# ---------------------------------------------------------------------------
+# Dataset presets (yolact data/config.py dataset_base / coco2017_dataset)
+# ---------------------------------------------------------------------------
+
+dataset_base = register_config(
+    "dataset_base",
+    ConfigNode(
+        {
+            "name": "Base Dataset",
+            "train_images": "./data/coco/images/",
+            "train_info": "path_to_annotation_file",
+            "valid_images": "./data/coco/images/",
+            "valid_info": "path_to_annotation_file",
+            "has_gt": True,
+            "class_names": [],
+        }
+    ),
+)
+
+coco2017_dataset = register_config(
+    "coco2017_dataset",
+    dataset_base.copy(
+        {
+            "name": "COCO 2017",
+            "train_images": "./data/coco/train2017/",
+            "train_info": "./data/coco/annotations/instances_train2017.json",
+            "valid_images": "./data/coco/val2017/",
+            "valid_info": "./data/coco/annotations/instances_val2017.json",
+        }
+    ),
+)

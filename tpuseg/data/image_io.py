@@ -1,0 +1,30 @@
+"""Host-side image decode (the only CPU stage of the inference pipeline)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode an image file -> uint8 RGB HWC array (cv2 with PIL fallback)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"cv2 failed to read {path}")
+        return np.ascontiguousarray(img[:, :, ::-1])
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_image_bgr(path: str) -> np.ndarray:
+    """Decode -> uint8 BGR HWC (detectron convention, README.md:307)."""
+    return np.ascontiguousarray(load_image_rgb(path)[:, :, ::-1])
+
+
+def save_image_bgr(path: str, img_bgr: np.ndarray) -> None:
+    import cv2
+
+    cv2.imwrite(path, img_bgr)

@@ -1,0 +1,213 @@
+"""Functional NN layers over explicit param pytrees.
+
+The TPU-native replacement for the reference models' ``jt.Module`` layers.
+Parameters are plain nested dicts of ``jnp`` arrays — no module classes — so
+that (a) every model is a pure jit-compiled function and (b) mapping the
+reference's ``.pth``/``.pkl`` checkpoints onto our trees is a mechanical key
+rename (see ``tpuseg/weights``).
+
+Conventions (TPU-native):
+  - activations are NHWC (channels on the 128-lane axis)
+  - conv kernels are HWIO (torch OIHW is transposed at load time)
+  - compute dtype follows the input; params may be kept in f32 and cast
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def conv2d(
+    x: jax.Array,
+    p: dict,
+    stride: int | tuple = 1,
+    padding: int | str | tuple = 0,
+    dilation: int | tuple = 1,
+    groups: int = 1,
+) -> jax.Array:
+    """2D convolution, NHWC x HWIO -> NHWC (torch Conv2d semantics)."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    w = p["weight"].astype(x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def linear(x: jax.Array, p: dict) -> jax.Array:
+    """Dense layer; weight stored [in, out] (torch [out, in] transposed at load)."""
+    out = jnp.dot(x, p["weight"].astype(x.dtype))
+    if p.get("bias") is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
+def frozen_batch_norm(x: jax.Array, p: dict, eps: float = 0.0) -> jax.Array:
+    """FrozenBatchNorm2d (detectron backbone): affine with folded stats.
+
+    Reference: maskrcnn-benchmark's FrozenBatchNorm2d — BN where the batch
+    statistics and affine params are fixed; upstream uses eps=0 because the
+    Caffe2-origin weights already fold epsilon into running_var.
+    """
+    scale = p["weight"] * jax.lax.rsqrt(p["running_var"] + eps)
+    bias = p["bias"] - p["running_mean"] * scale
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def batch_norm_inference(x: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
+    """BatchNorm2d in eval mode (yolact/yolo backbones at inference)."""
+    scale = p["weight"] * jax.lax.rsqrt(p["running_var"] + eps)
+    bias = p["bias"] - p["running_mean"] * scale
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def batch_norm_train(x: jax.Array, p: dict, eps: float = 1e-5, axes=(0, 1, 2)):
+    """BatchNorm2d training mode: normalize by batch stats.
+
+    Returns (out, batch_mean, batch_var) so the train step can update the
+    running statistics functionally.
+    """
+    mean = jnp.mean(x, axes)
+    var = jnp.var(x, axes)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    out = out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+    return out, mean, var
+
+
+def layer_norm(x: jax.Array, p: dict, eps: float = 1e-6) -> jax.Array:
+    mean = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def group_norm(x: jax.Array, p: dict, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm over NHWC (detectron GN heads)."""
+    n, h, w, c = x.shape
+    g = num_groups
+    xg = x.reshape(n, h, w, g, c // g)
+    mean = jnp.mean(xg, (1, 2, 4), keepdims=True)
+    var = jnp.var(xg, (1, 2, 4), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    out = xg.reshape(n, h, w, c)
+    return out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def max_pool2d(
+    x: jax.Array, kernel: int, stride: int | None = None, padding: int = 0
+) -> jax.Array:
+    """torch MaxPool2d semantics (pads with -inf)."""
+    stride = stride or kernel
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool2d(x: jax.Array, kernel: int, stride: int | None = None) -> jax.Array:
+    stride = stride or kernel
+    out = jax.lax.reduce_window(
+        x,
+        jnp.asarray(0, x.dtype),
+        jax.lax.add,
+        (1, kernel, kernel, 1),
+        (1, stride, stride, 1),
+        "VALID",
+    )
+    return out / (kernel * kernel)
+
+
+def global_avg_pool(x: jax.Array) -> jax.Array:
+    return jnp.mean(x, axis=(1, 2))
+
+
+def resize_bilinear(x: jax.Array, out_hw: tuple, half_pixel: bool = True):
+    """Bilinear resize matching torch interpolate(align_corners=False)."""
+    n, h, w, c = x.shape
+    method = "linear" if half_pixel else "linear"
+    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method=method)
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple):
+    """Nearest resize matching torch interpolate(mode='nearest') (floor rule)."""
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    ridx = (jnp.arange(oh) * h // oh).astype(jnp.int32)
+    cidx = (jnp.arange(ow) * w // ow).astype(jnp.int32)
+    return x[:, ridx][:, :, cidx]
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(x, rate, key, deterministic):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (for training-from-scratch parity with the reference)
+# ---------------------------------------------------------------------------
+
+
+def kaiming_conv(key, kh, kw, cin, cout, dtype=jnp.float32):
+    fan_in = kh * kw * cin
+    std = np.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, (kh, kw, cin, cout), dtype) * std
+
+
+def xavier_linear(key, cin, cout, dtype=jnp.float32):
+    bound = np.sqrt(6.0 / (cin + cout))
+    return jax.random.uniform(key, (cin, cout), dtype, -bound, bound)
+
+
+def conv_params(key, kh, kw, cin, cout, bias=True, dtype=jnp.float32):
+    p = {"weight": kaiming_conv(key, kh, kw, cin, cout, dtype)}
+    p["bias"] = jnp.zeros((cout,), dtype) if bias else None
+    return p
+
+
+def linear_params(key, cin, cout, bias=True, dtype=jnp.float32):
+    p = {"weight": xavier_linear(key, cin, cout, dtype)}
+    p["bias"] = jnp.zeros((cout,), dtype) if bias else None
+    return p
+
+
+def bn_params(c, dtype=jnp.float32):
+    return {
+        "weight": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "running_mean": jnp.zeros((c,), dtype),
+        "running_var": jnp.ones((c,), dtype),
+    }
+
+
+def ln_params(c, dtype=jnp.float32):
+    return {"weight": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}

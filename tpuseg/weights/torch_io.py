@@ -1,0 +1,318 @@
+"""Pure-Python readers for torch ``.pth``/``.pkl`` checkpoints (no torch dep).
+
+The reference zoo distributes pretrained weights as torch-serialized files:
+  - Yolact.jittor: ``yolact_base_54_800000.pth`` etc. (README.md:205-221)
+  - detectron.jittor: ``e2e_mask_rcnn_R_50_*.pth`` (README.md:266)
+  - Pose2Seg.jittor: ``last.pkl`` (README.md:187) — torch.save with .pkl suffix
+Jittor itself loads these with its own torch-free unpickler; we do the same so
+the framework carries no torch dependency (torch-cpu is only used in tests as
+a golden).
+
+Two on-disk formats:
+  * zip (torch >= 1.6): a zipfile with ``<root>/data.pkl`` and raw storage
+    blobs under ``<root>/data/<key>``.
+  * legacy (torch < 1.6): magic + protocol + sys_info pickles, the main
+    pickle, a pickled key list, then ``int64 numel + raw bytes`` per storage.
+
+Tensors are returned as numpy arrays (bf16 via ml_dtypes). All torch classes
+encountered in the pickle stream are replaced by inert stubs — nothing is
+executed from the checkpoint.
+"""
+from __future__ import annotations
+
+import io
+import pickle
+import struct
+import zipfile
+
+import numpy as np
+
+try:  # ships with jax
+    import ml_dtypes
+
+    _BF16 = np.dtype(ml_dtypes.bfloat16)
+    _FP8E4M3 = np.dtype(ml_dtypes.float8_e4m3fn)
+    _FP8E5M2 = np.dtype(ml_dtypes.float8_e5m2)
+except ImportError:  # pragma: no cover
+    _BF16 = _FP8E4M3 = _FP8E5M2 = None
+
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("?"),
+    "BFloat16Storage": _BF16,
+    "ComplexFloatStorage": np.dtype("<c8"),
+    "ComplexDoubleStorage": np.dtype("<c16"),
+}
+
+
+class _StorageType:
+    """Stub for torch.FloatStorage & friends appearing as pickle globals."""
+
+    def __init__(self, name):
+        self.name = name
+        self.dtype = _STORAGE_DTYPES.get(name)
+
+    def __repr__(self):
+        return f"_StorageType({self.name})"
+
+
+class _TorchDtypeStub:
+    def __init__(self, name):
+        self.name = name  # e.g. "bfloat16"
+
+
+_DTYPE_STUBS = {
+    # torch.save of TypedStorage puts torch.<dtype> objects in the stream
+    name: _TorchDtypeStub(name)
+    for name in (
+        "float32", "float64", "float16", "bfloat16", "int64", "int32",
+        "int16", "int8", "uint8", "bool", "complex64", "complex128",
+        "float8_e4m3fn", "float8_e5m2", "uint16", "uint32", "uint64",
+    )
+}
+
+_NP_FROM_TORCH_DTYPE = {
+    "float32": np.dtype("<f4"), "float64": np.dtype("<f8"),
+    "float16": np.dtype("<f2"), "bfloat16": _BF16,
+    "int64": np.dtype("<i8"), "int32": np.dtype("<i4"),
+    "int16": np.dtype("<i2"), "int8": np.dtype("<i1"),
+    "uint8": np.dtype("<u1"), "bool": np.dtype("?"),
+    "complex64": np.dtype("<c8"), "complex128": np.dtype("<c16"),
+    "float8_e4m3fn": _FP8E4M3, "float8_e5m2": _FP8E5M2,
+    "uint16": np.dtype("<u2"), "uint32": np.dtype("<u4"),
+    "uint64": np.dtype("<u8"),
+}
+
+
+class _AttrDict(dict):
+    """dict stand-in for OrderedDict (state dicts pickle a ``_metadata`` attr)."""
+
+
+class _Storage:
+    """A loaded flat byte buffer + element dtype."""
+
+    def __init__(self, data: bytes, dtype: np.dtype):
+        self.data = data
+        self.dtype = dtype
+
+
+def _rebuild_tensor(storage: _Storage, offset, size, stride):
+    dtype = storage.dtype
+    if dtype is None:
+        raise ValueError("unsupported storage dtype in checkpoint")
+    flat = np.frombuffer(storage.data, dtype=dtype)
+    if not size:  # 0-d tensor: keep it an ndarray so tree flattening sees it
+        return flat[offset : offset + 1].reshape(()).copy()
+    arr = np.lib.stride_tricks.as_strided(
+        flat[offset:],
+        shape=tuple(size),
+        strides=tuple(s * dtype.itemsize for s in stride),
+    )
+    return np.ascontiguousarray(arr)
+
+
+def _rebuild_tensor_v2(storage, offset, size, stride, requires_grad=None,
+                       backward_hooks=None, metadata=None):
+    return _rebuild_tensor(storage, offset, size, stride)
+
+
+def _rebuild_tensor_v3(storage, offset, size, stride, requires_grad,
+                       backward_hooks, dtype_stub, **kwargs):
+    # torch >= 2.x with UntypedStorage: dtype travels with the rebuild call
+    np_dtype = _NP_FROM_TORCH_DTYPE[dtype_stub.name]
+    st = _Storage(storage.data, np_dtype)
+    return _rebuild_tensor(st, offset, size, stride)
+
+
+def _rebuild_parameter(data, requires_grad=None, backward_hooks=None):
+    return data
+
+
+def _rebuild_from_type_v2(func, new_type, args, state):
+    return func(*args)
+
+
+class _Unpickler(pickle.Unpickler):
+    """Unpickler that stubs torch globals and resolves storages lazily."""
+
+    def __init__(self, f, load_storage):
+        super().__init__(f, encoding="latin1")
+        self._load_storage = load_storage
+
+    def find_class(self, module, name):
+        if module.startswith("torch"):
+            if name in _STORAGE_DTYPES or name.endswith("Storage"):
+                return _StorageType(name)
+            table = {
+                "_rebuild_tensor_v2": _rebuild_tensor_v2,
+                "_rebuild_tensor_v3": _rebuild_tensor_v3,
+                "_rebuild_tensor": lambda st, off, sz, sd: _rebuild_tensor(
+                    st, off, sz, sd
+                ),
+                "_rebuild_parameter": _rebuild_parameter,
+                "_rebuild_from_type_v2": _rebuild_from_type_v2,
+            }
+            if name in table:
+                return table[name]
+            if name in _DTYPE_STUBS:
+                return _DTYPE_STUBS[name]
+            if module == "torch" and name == "Size":
+                return tuple
+            if name in ("Tensor", "Parameter", "device"):
+                return lambda *a, **k: None
+            # any other torch global: inert placeholder type
+            return type(name, (), {"__setstate__": lambda s, st: None})
+        if module == "collections" and name == "OrderedDict":
+            return _AttrDict  # plain dict that tolerates ._metadata etc.
+        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+            return super().find_class(module, name)
+        if module == "builtins":
+            return super().find_class(module, name)
+        if module == "argparse" or name == "Namespace":
+            return type("Namespace", (), {})
+        # unknown module: inert stub (never execute checkpoint code)
+        return type(name, (), {"__setstate__": lambda s, st: None})
+
+    def persistent_load(self, pid):
+        assert isinstance(pid, tuple) and pid[0] == "storage", pid
+        storage_type, key = pid[1], pid[2]
+        numel = pid[4] if len(pid) > 4 else None
+        if isinstance(storage_type, _StorageType):
+            dtype = storage_type.dtype
+        elif isinstance(storage_type, _TorchDtypeStub):
+            dtype = _NP_FROM_TORCH_DTYPE[storage_type.name]
+        else:
+            dtype = None  # UntypedStorage: dtype arrives at rebuild time
+        data = self._load_storage(str(key), numel, dtype)
+        return _Storage(data, dtype)
+
+
+def _load_zip(path: str):
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    root = pkl_name[: -len("data.pkl")]
+    cache: dict[str, bytes] = {}
+
+    def load_storage(key, numel, dtype):
+        if key not in cache:
+            cache[key] = zf.read(f"{root}data/{key}")
+        return cache[key]
+
+    up = _Unpickler(io.BytesIO(zf.read(pkl_name)), load_storage)
+    return up.load()
+
+
+class _LegacyUnpickler(_Unpickler):
+    """Legacy torch format: storage payloads live AFTER the main pickle.
+
+    persistent_load returns mutable _Storage placeholders; tensor rebuilds are
+    deferred as _LazyTensor and materialized once the payloads are read.
+    """
+
+    def __init__(self, f, storages):
+        super().__init__(f, lambda *a: b"")
+        self._storages = storages
+
+    def persistent_load(self, pid):
+        assert isinstance(pid, tuple) and pid[0] == "storage", pid
+        storage_type, key = pid[1], str(pid[2])
+        dtype = (
+            storage_type.dtype if isinstance(storage_type, _StorageType) else None
+        )
+        if key not in self._storages:
+            self._storages[key] = _Storage(b"", dtype)
+        return self._storages[key]
+
+    def find_class(self, module, name):
+        if module.startswith("torch") and name in (
+            "_rebuild_tensor_v2",
+            "_rebuild_tensor",
+        ):
+            return lambda st, off, sz, sd, *rest: _LazyTensor(st, off, sz, sd)
+        return super().find_class(module, name)
+
+
+def _load_legacy(f) -> object:
+    magic = pickle.load(f)
+    if magic != _LEGACY_MAGIC:
+        raise ValueError("not a legacy torch file")
+    pickle.load(f)  # protocol version
+    pickle.load(f)  # sys info
+    storages: dict[str, _Storage] = {}
+    up = _LegacyUnpickler(f, storages)
+    result = up.load()
+    keys = pickle.load(f, encoding="latin1")
+    for key in keys:
+        (numel,) = struct.unpack("<q", f.read(8))
+        st = storages[str(key)]
+        nbytes = numel * (st.dtype.itemsize if st.dtype else 1)
+        st.data = f.read(nbytes)
+    return _materialize(result)
+
+
+class _LazyTensor:
+    def __init__(self, storage, offset, size, stride):
+        self.storage = storage
+        self.offset = offset
+        self.size = size
+        self.stride = stride
+
+    def materialize(self):
+        return _rebuild_tensor(self.storage, self.offset, self.size, self.stride)
+
+
+def _materialize(obj):
+    if isinstance(obj, _LazyTensor):
+        return obj.materialize()
+    if isinstance(obj, dict):
+        return {k: _materialize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        t = type(obj)
+        return t(_materialize(v) for v in obj)
+    return obj
+
+
+def load_torch_file(path: str):
+    """Load a torch-serialized file -> nested python structure of np arrays."""
+    if zipfile.is_zipfile(path):
+        return _load_zip(path)
+    with open(path, "rb") as f:
+        try:
+            return _load_legacy(f)
+        except (ValueError, pickle.UnpicklingError, EOFError, KeyError, struct.error):
+            f.seek(0)
+            # plain pickle (e.g. numpy dicts, jittor-style .pkl)
+            return _Unpickler(f, lambda *a: b"").load()
+
+
+def flatten_state_dict(obj, prefix="") -> dict[str, np.ndarray]:
+    """Flatten a loaded checkpoint into {dotted_name: array}.
+
+    Handles the common containers: raw state dicts, {'state_dict': ...},
+    {'model': ...}, nested dicts.
+    """
+    for key in ("state_dict", "model", "weights", "params"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    out = {}
+
+    def rec(o, pre):
+        if isinstance(o, np.ndarray):
+            out[pre.rstrip(".")] = o
+        elif isinstance(o, dict):
+            for k, v in o.items():
+                rec(v, f"{pre}{k}.")
+        # scalars/None/other metadata are dropped
+
+    rec(obj, prefix)
+    return out
