@@ -1,0 +1,147 @@
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuseg.models import yolact as Y
+
+
+def test_priors_match_upstream_semantics():
+    cfg = Y.YolactConfig()
+    priors = Y.make_priors_np(cfg)
+    assert priors.shape == (19248, 4)  # known count for 550 input
+    # golden re-derivation (upstream make_priors loop)
+    sizes = Y.level_sizes(cfg)
+    assert sizes == (69, 35, 18, 9, 5)
+    want = []
+    for hw, scale in zip(sizes, cfg.scales):
+        for j in range(hw):
+            for i in range(hw):
+                for ar in (1.0, 0.5, 2.0):
+                    ars = math.sqrt(ar)
+                    w = scale * ars / 550
+                    want.append([(i + 0.5) / hw, (j + 0.5) / hw, w, w])
+    np.testing.assert_allclose(priors, np.asarray(want, np.float32), rtol=1e-6)
+
+
+def small_cfg():
+    return Y.YolactConfig(img_size=128, num_classes=5, nms_top_k=16,
+                          max_num_detections=10)
+
+
+def test_forward_and_detect_shapes():
+    cfg = small_cfg()
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+    dets = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))(params, imgs)
+    n_priors = priors.shape[0]
+    s = Y.level_sizes(cfg)
+    assert n_priors == 3 * sum(x * x for x in s)
+    proto_hw = s[0] * 2
+    assert dets["boxes"].shape == (1, 10, 4)
+    assert dets["masks"].shape == (1, 10, proto_hw, proto_hw)
+    assert dets["scores"].shape == (1, 10)
+    m = np.asarray(dets["masks"])
+    assert np.all(m >= 0) and np.all(m <= 1)
+
+
+def test_crop_masks_matches_numpy(rng):
+    s, k = 16, 5
+    masks = rng.uniform(size=(s, s, k)).astype(np.float32)
+    boxes = np.stack([
+        rng.uniform(0, 0.5, k), rng.uniform(0, 0.5, k),
+        rng.uniform(0.5, 1.0, k), rng.uniform(0.5, 1.0, k)], -1).astype(np.float32)
+    got = np.asarray(Y._crop_masks(jnp.asarray(masks), jnp.asarray(boxes)))
+    want = masks.copy()
+    for i in range(k):
+        x1 = max(boxes[i, 0] * s - 1, 0)
+        x2 = min(boxes[i, 2] * s + 1, s)
+        y1 = max(boxes[i, 1] * s - 1, 0)
+        y2 = min(boxes[i, 3] * s + 1, s)
+        rr = np.arange(s)[:, None]
+        cc = np.arange(s)[None, :]
+        inside = (rr >= y1) & (rr < y2) & (cc >= x1) & (cc < x2)
+        want[:, :, i] = np.where(inside, masks[:, :, i], 0)
+    np.testing.assert_allclose(got, want)
+
+
+def _synth_state_dict(cfg):
+    """Random dbolya-named state dict with correct shapes."""
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def conv(name, cout, cin, k):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    def conv_nobias(name, cout, cin, k):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            arr = rng.uniform(0.5, 1.5, c).astype(np.float32)
+            sd[f"{name}.{suf}"] = arr
+        sd[f"{name}.num_batches_tracked"] = np.asarray(0)
+
+    conv_nobias("backbone.conv1", 64, 3, 7)
+    bn("backbone.bn1", 64)
+    blocks = (3, 4, 6, 3)
+    cin = 64
+    for si, nb in enumerate(blocks):
+        mid = 64 * 2**si
+        cout = mid * 4
+        for bi in range(nb):
+            base = f"backbone.layers.{si}.{bi}"
+            conv_nobias(f"{base}.conv1", mid, cin if bi == 0 else cout, 1)
+            bn(f"{base}.bn1", mid)
+            conv_nobias(f"{base}.conv2", mid, mid, 3)
+            bn(f"{base}.bn2", mid)
+            conv_nobias(f"{base}.conv3", cout, mid, 1)
+            bn(f"{base}.bn3", cout)
+            if bi == 0:
+                conv_nobias(f"{base}.downsample.0", cout, cin, 1)
+                bn(f"{base}.downsample.1", cout)
+        cin = cout
+    for i, c in enumerate((2048, 1024, 512)):  # lat_layers reversed
+        conv(f"fpn.lat_layers.{i}", 256, c, 1)
+    for i in range(3):
+        conv(f"fpn.pred_layers.{i}", 256, 256, 3)
+    for i in range(2):
+        conv(f"fpn.downsample_layers.{i}", 256, 256, 3)
+    for idx, (cout, cin, k) in zip(
+        (0, 2, 4, 8, 10),
+        ((256, 256, 3), (256, 256, 3), (256, 256, 3), (256, 256, 3),
+         (cfg.mask_dim, 256, 1)),
+    ):
+        conv(f"proto_net.{idx}", *((cout, cin, k)))
+    conv("prediction_layers.0.upfeature.0", 256, 256, 3)
+    na = cfg.num_anchors
+    conv("prediction_layers.0.bbox_layer", na * 4, 256, 3)
+    conv("prediction_layers.0.conf_layer", na * cfg.num_classes, 256, 3)
+    conv("prediction_layers.0.mask_layer", na * cfg.mask_dim, 256, 3)
+    conv("semantic_seg_conv", cfg.num_classes - 1, 256, 1)
+    return sd
+
+
+def test_weight_mapping_shapes():
+    from tpuseg.weights.yolact_map import from_torch_state
+
+    cfg = Y.YolactConfig()  # resnet50 base
+    sd = _synth_state_dict(cfg)
+    tree = from_torch_state(sd, cfg)
+    init = Y.init_params(jax.random.PRNGKey(0), cfg)
+
+    flat_got = jax.tree_util.tree_leaves_with_path(tree)
+    flat_want = {jax.tree_util.keystr(k): v.shape
+                 for k, v in jax.tree_util.tree_leaves_with_path(init)}
+    for path, leaf in flat_got:
+        key = jax.tree_util.keystr(path)
+        assert key in flat_want, f"unexpected leaf {key}"
+        assert tuple(leaf.shape) == tuple(flat_want[key]), (
+            f"{key}: {leaf.shape} vs {flat_want[key]}")
+    # every init leaf except 'semantic' bias (reference has bias; ours too)
+    got_keys = {jax.tree_util.keystr(p) for p, _ in flat_got}
+    missing = set(flat_want) - got_keys
+    assert not missing, f"unmapped leaves: {missing}"

@@ -1,0 +1,286 @@
+"""YOLACT — real-time instance segmentation (Yolact.jittor capability).
+
+Architecture per the YOLACT paper (arXiv:1904.02689, cited at reference
+README.md:356) and Yolact.jittor's ``yolact.py`` [SURVEY.md §2.2]:
+ResNet/DarkNet backbone -> FPN (P3..P7) -> one shared PredictionModule
+(class / box / mask-coefficient heads over all levels) + ProtoNet at P3
+producing k=32 prototype masks; instance masks assemble at post-process
+as ``sigmoid(proto @ coeffs)`` cropped to boxes.
+
+TPU-native layout: the whole pipeline — preprocess, backbone, heads,
+decode, Fast-NMS, mask assembly and crop — is ONE jit program with static
+shapes (550x550 input -> 19248 priors -> top_k=200 per class -> 100 dets).
+Fast-NMS is already loop-free matrix code (ideal for the MXU/VPU); mask
+assembly is a single [138*138, 32] x [32, 100] matmul.
+
+yolact_base quirks reproduced for weight parity:
+  - square anchors (w == h == scale * sqrt(ar) / 550) — upstream keeps this
+    historical bug for its released weights
+  - prototypes ReLU-activated; coefficients tanh-activated
+  - conf softmax over 81 classes (background col 0 dropped at detect)
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.core import boxes as box_ops
+from tpuseg.nn import darknet as darknet_nn
+from tpuseg.nn import fpn as fpn_nn
+from tpuseg.nn import layers as L
+from tpuseg.nn import resnet as resnet_nn
+from tpuseg.ops import nms as nms_ops
+
+
+@dataclass(frozen=True)
+class YolactConfig:
+    backbone: str = "resnet50"  # resnet50 | resnet101 | darknet53
+    img_size: int = 550
+    num_classes: int = 81  # incl background
+    mask_dim: int = 32
+    fpn_channels: int = 256
+    aspect_ratios: tuple = (1.0, 0.5, 2.0)
+    scales: tuple = (24, 48, 96, 192, 384)
+    use_square_anchors: bool = True
+    conf_thresh: float = 0.05
+    nms_iou_thresh: float = 0.5
+    nms_top_k: int = 200
+    max_num_detections: int = 100
+    variances: tuple = (0.1, 0.2)
+
+    @property
+    def num_anchors(self):
+        return len(self.aspect_ratios)
+
+    @property
+    def proto_size(self):
+        return self.img_size // 4  # P3 (/8) upsampled x2 => 550//4 = 138 (for 550: 69*2)
+
+
+def level_sizes(cfg: YolactConfig):
+    """Feature map sizes for P3..P7 (conv stride arithmetic, 550 -> 69,35,18,9,5)."""
+    sizes = []
+    s = cfg.img_size
+    # backbone convs: ceil division at each stride-2 conv with k3 p1
+    def conv_out(n):
+        return (n + 1) // 2
+
+    x = cfg.img_size
+    for _ in range(3):  # stride 8 (stem s2, pool s2, layer2 s2)
+        x = conv_out(x)
+    p3 = x
+    p4 = conv_out(p3)
+    p5 = conv_out(p4)
+    p6 = conv_out(p5)
+    p7 = conv_out(p6)
+    return (p3, p4, p5, p6, p7)
+
+
+@functools.lru_cache(maxsize=8)
+def make_priors_np(cfg: YolactConfig) -> np.ndarray:
+    """Priors [N, 4] (cx, cy, w, h) normalized — yolact.py make_priors."""
+    priors = []
+    for (size_hw, scale) in zip(level_sizes(cfg), cfg.scales):
+        for j in range(size_hw):
+            for i in range(size_hw):
+                cx = (i + 0.5) / size_hw
+                cy = (j + 0.5) / size_hw
+                for ar in cfg.aspect_ratios:
+                    ar_s = math.sqrt(ar)
+                    w = scale * ar_s / cfg.img_size
+                    h = scale / ar_s / cfg.img_size
+                    if cfg.use_square_anchors:
+                        h = w
+                    priors.append([cx, cy, w, h])
+    return np.asarray(priors, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _protonet(params: dict, x: jax.Array) -> jax.Array:
+    """P3 -> [B, 2*P3, 2*P3, mask_dim] prototypes (relu-activated).
+
+    yolact.py ``make_net`` of mask_proto_net: 3x (conv3x3 256 + relu),
+    bilinear x2 upsample, conv3x3 256 + relu, conv1x1 mask_dim; final relu.
+    """
+    for i in range(3):
+        x = L.relu(L.conv2d(x, params[f"conv{i}"], padding=1))
+    x = jax.image.resize(
+        x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]), "linear"
+    )
+    x = L.relu(L.conv2d(x, params["conv3"], padding=1))
+    x = L.conv2d(x, params["conv4"])  # 1x1 to mask_dim, no activation here
+    return L.relu(x)
+
+
+def _prediction_head(params: dict, x: jax.Array, cfg: YolactConfig):
+    """Shared PredictionModule applied to one level.
+
+    Returns (loc [B,hw*na,4], conf [B,hw*na,C], coeff [B,hw*na,k]).
+    """
+    b = x.shape[0]
+    x = L.relu(L.conv2d(x, params["upfeature"], padding=1))
+    na = cfg.num_anchors
+    loc = L.conv2d(x, params["bbox"], padding=1).reshape(b, -1, 4)
+    conf = L.conv2d(x, params["conf"], padding=1).reshape(b, -1, cfg.num_classes)
+    coeff = jnp.tanh(
+        L.conv2d(x, params["mask"], padding=1).reshape(b, -1, cfg.mask_dim)
+    )
+    return loc, conf, coeff
+
+
+def backbone_forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
+    if cfg.backbone.startswith("resnet"):
+        depth = int(cfg.backbone[6:])
+        rcfg = resnet_nn.ResNetConfig(depth=depth, stride_in_1x1=False, frozen_bn=False)
+        return resnet_nn.forward(params["backbone"], images, rcfg)
+    return darknet_nn.forward(params["backbone"], images)
+
+
+def forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
+    """images [B,550,550,3] normalized -> raw prediction dict."""
+    feats = backbone_forward(params, images, cfg)
+    pyramid = fpn_nn.yolact_fpn_forward(params["fpn"], feats)  # [P3..P7]
+    proto = _protonet(params["proto"], pyramid[0])
+    locs, confs, coeffs = [], [], []
+    for p in pyramid:
+        loc, conf, coeff = _prediction_head(params["pred"], p, cfg)
+        locs.append(loc)
+        confs.append(conf)
+        coeffs.append(coeff)
+    return {
+        "proto": proto,
+        "loc": jnp.concatenate(locs, 1),
+        "conf": jnp.concatenate(confs, 1),
+        "coeff": jnp.concatenate(coeffs, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Detect (layers/functions/detection.py) + mask assembly (output_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def detect(preds: dict, priors: jax.Array, cfg: YolactConfig) -> dict:
+    """Raw predictions -> padded detections with assembled cropped masks.
+
+    Per image: decode loc vs priors (SSD variances), softmax conf minus
+    background, Fast-NMS per class at top_k, global top max_num_detections,
+    mask = crop(sigmoid(proto @ coeff), box) at proto resolution.
+    Returns dict with boxes (normalized xyxy), scores, classes (0-based,
+    no background), masks [B, max_det, S, S], valid.
+    """
+
+    def per_image(loc, conf, coeff, proto):
+        boxes = box_ops.ssd_decode(loc, priors, cfg.variances)  # [N,4] normalized
+        scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
+        cboxes, cscores, cclasses, cidx, keep = nms_ops.fast_nms(
+            boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k
+        )
+        # flatten classes and take global top-k (Detect: max_num_detections)
+        flat_scores = jnp.where(keep, cscores, 0.0).reshape(-1)
+        flat_boxes = cboxes.reshape(-1, 4)
+        flat_classes = cclasses.reshape(-1)
+        flat_pidx = cidx.reshape(-1)
+        top_s, sel, valid = box_ops.masked_topk(
+            flat_scores, flat_scores > cfg.conf_thresh, cfg.max_num_detections
+        )
+        out_boxes = flat_boxes[sel]
+        out_classes = flat_classes[sel]
+        out_coeff = coeff[flat_pidx[sel]]  # [K, mask_dim]
+        # mask assembly: [S,S,k] @ [k,K] -> [S,S,K]
+        m = jnp.einsum("hwk,nk->hwn", proto, out_coeff)
+        m = jax.nn.sigmoid(m)
+        m = _crop_masks(m, out_boxes)
+        return {
+            "boxes": out_boxes,
+            "scores": jnp.where(valid, top_s, 0.0),
+            "classes": out_classes,
+            "masks": jnp.transpose(m, (2, 0, 1)),
+            "valid": valid,
+        }
+
+    return jax.vmap(per_image)(
+        preds["loc"], preds["conf"], preds["coeff"], preds["proto"]
+    )
+
+
+def _crop_masks(masks: jax.Array, boxes_norm: jax.Array, padding: int = 1) -> jax.Array:
+    """Zero mask pixels outside each box (yolact box_utils.crop).
+
+    masks [S,S,K]; boxes normalized xyxy. Matches sanitize_coordinates
+    (cast=False, padding=1): scale to the mask grid, pad 1px each side,
+    clamp, exclusive right edge.
+    """
+    s = masks.shape[0]
+    x1, y1, x2, y2 = [boxes_norm[:, i] * s for i in range(4)]
+    x1, x2 = jnp.minimum(x1, x2), jnp.maximum(x1, x2)
+    y1, y2 = jnp.minimum(y1, y2), jnp.maximum(y1, y2)
+    x1 = jnp.clip(x1 - padding, 0)
+    x2 = jnp.clip(x2 + padding, None, s)
+    y1 = jnp.clip(y1 - padding, 0)
+    y2 = jnp.clip(y2 + padding, None, s)
+    rows = jax.lax.broadcasted_iota(jnp.float32, (s, s, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (s, s, 1), 1)
+    inside = (
+        (rows >= y1[None, None, :])
+        & (rows < y2[None, None, :])
+        & (cols >= x1[None, None, :])
+        & (cols < x2[None, None, :])
+    )
+    return jnp.where(inside, masks, 0.0)
+
+
+def full_pipeline(params: dict, priors: jax.Array, images_u8: jax.Array,
+                  cfg: YolactConfig) -> dict:
+    """uint8 RGB [B,H,W,3] -> detections. The single-jit-program path."""
+    from tpuseg.ops.preprocess import yolact_preprocess
+
+    x = yolact_preprocess(images_u8, size=cfg.img_size)
+    preds = forward(params, x, cfg)
+    return detect(preds, priors, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: YolactConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 32))
+    fc = cfg.fpn_channels
+    na = cfg.num_anchors
+    if cfg.backbone.startswith("resnet"):
+        depth = int(cfg.backbone[6:])
+        rcfg = resnet_nn.ResNetConfig(depth=depth, stride_in_1x1=False, frozen_bn=False)
+        backbone = resnet_nn.init_params(next(keys), rcfg, dtype)
+        in_ch = (512, 1024, 2048)
+    else:
+        backbone = darknet_nn.init_params(next(keys), dtype=dtype)
+        in_ch = (256, 512, 1024)
+    return {
+        "backbone": backbone,
+        "fpn": fpn_nn.yolact_fpn_init(next(keys), in_ch, fc, dtype),
+        "proto": {
+            "conv0": L.conv_params(next(keys), 3, 3, fc, 256, dtype=dtype),
+            "conv1": L.conv_params(next(keys), 3, 3, 256, 256, dtype=dtype),
+            "conv2": L.conv_params(next(keys), 3, 3, 256, 256, dtype=dtype),
+            "conv3": L.conv_params(next(keys), 3, 3, 256, 256, dtype=dtype),
+            "conv4": L.conv_params(next(keys), 1, 1, 256, cfg.mask_dim, dtype=dtype),
+        },
+        "pred": {
+            "upfeature": L.conv_params(next(keys), 3, 3, fc, 256, dtype=dtype),
+            "bbox": L.conv_params(next(keys), 3, 3, 256, na * 4, dtype=dtype),
+            "conf": L.conv_params(next(keys), 3, 3, 256, na * cfg.num_classes, dtype=dtype),
+            "mask": L.conv_params(next(keys), 3, 3, 256, na * cfg.mask_dim, dtype=dtype),
+        },
+        "semantic": L.conv_params(next(keys), 1, 1, fc, cfg.num_classes - 1, dtype=dtype),
+    }

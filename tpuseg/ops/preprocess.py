@@ -27,6 +27,10 @@ import jax.numpy as jnp
 # ImageNet means/stds in RGB order (yolact MEANS/STD are BGR: reversed here)
 IMAGENET_MEAN_RGB = (123.675, 116.28, 103.53)
 IMAGENET_STD_RGB = (58.395, 57.12, 57.375)
+# yolact data/config.py MEANS=(103.94,116.78,123.68) STD=(57.38,57.12,58.40)
+# are BGR; the net consumes RGB (FastBaseTransform flips after normalize)
+YOLACT_MEAN_RGB = (123.68, 116.78, 103.94)
+YOLACT_STD_RGB = (58.40, 57.12, 57.38)
 # maskrcnn-benchmark default PIXEL_MEAN (BGR order, used on BGR images)
 DETECTRON_PIXEL_MEAN_BGR = (102.9801, 115.9465, 122.7717)
 
@@ -43,13 +47,13 @@ def yolact_preprocess(images_u8: jax.Array, size: int = 550) -> jax.Array:
     """uint8 RGB [B,H,W,3] -> normalized [B,size,size,3].
 
     Reference: Yolact.jittor utils/augmentations.py FastBaseTransform —
-    resize to (size,size), (x - MEANS)/STD, channel order kept RGB here
-    (the reference permutes to BGR then to CHW; we keep NHWC/RGB and flip
-    the conv weights at load time instead — see weights/yolact_map).
+    resize to (size,size) bilinear, (x - MEANS)/STD with BGR-ordered
+    constants on BGR input, then flip to RGB. We take RGB input and use the
+    RGB-reordered constants — numerically identical.
     """
     x = resize_bilinear_exact(images_u8, (size, size))
-    mean = jnp.asarray(IMAGENET_MEAN_RGB, jnp.float32)
-    std = jnp.asarray(IMAGENET_STD_RGB, jnp.float32)
+    mean = jnp.asarray(YOLACT_MEAN_RGB, jnp.float32)
+    std = jnp.asarray(YOLACT_STD_RGB, jnp.float32)
     return (x - mean) / std
 
 
