@@ -45,6 +45,63 @@ vit_l16_config = register_config(
 )
 
 # ---------------------------------------------------------------------------
+# YOLACT (Yolact.jittor data/config.py chains; README.md:205-221 weight table)
+# ---------------------------------------------------------------------------
+
+yolact_base_config = register_config(
+    "yolact_base_config",
+    ConfigNode(
+        {
+            "name": "yolact_base",
+            "model": "yolact",
+            "backbone": "resnet101",
+            "max_size": 550,
+            "num_classes": 81,
+            "mask_dim": 32,
+            "fpn_channels": 256,
+            "conf_thresh": 0.05,
+            "nms_thresh": 0.5,
+            "nms_top_k": 200,
+            "max_num_detections": 100,
+            "dataset": "coco2017_dataset",
+        }
+    ),
+)
+
+yolact_resnet50_config = register_config(
+    "yolact_resnet50_config",
+    yolact_base_config.copy({"name": "yolact_resnet50", "backbone": "resnet50"}),
+)
+
+yolact_darknet53_config = register_config(
+    "yolact_darknet53_config",
+    yolact_base_config.copy({"name": "yolact_darknet53", "backbone": "darknet53"}),
+)
+
+yolact_im700_config = register_config(
+    "yolact_im700_config",
+    yolact_base_config.copy({"name": "yolact_im700", "max_size": 700}),
+)
+
+
+def yolact_model_config(cfg):
+    """ConfigNode preset -> models.yolact.YolactConfig."""
+    from tpuseg.models.yolact import YolactConfig
+
+    return YolactConfig(
+        backbone=cfg.backbone,
+        img_size=cfg.max_size,
+        num_classes=cfg.num_classes,
+        mask_dim=cfg.mask_dim,
+        fpn_channels=cfg.fpn_channels,
+        conf_thresh=cfg.conf_thresh,
+        nms_iou_thresh=cfg.nms_thresh,
+        nms_top_k=cfg.nms_top_k,
+        max_num_detections=cfg.max_num_detections,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dataset presets (yolact data/config.py dataset_base / coco2017_dataset)
 # ---------------------------------------------------------------------------
 

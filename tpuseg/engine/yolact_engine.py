@@ -1,0 +1,166 @@
+"""YOLACT predictor + evaluation engine (Yolact.jittor eval.py parity).
+
+Surfaces reproduced (README.md:239-250):
+  - ``--trained_model`` weight load, config inferred from preset name
+  - full-val mAP table via YOLACT's own AP protocol (tpuseg.eval.yolact_map)
+  - optional COCO-json dump evaluated by our COCOeval clone
+  - single-image / folder visualization modes (tools/yolact_eval.py)
+
+Device work is one jit program at fixed batch size; host work is decode,
+resize-to-550 (cv2 bilinear == reference's device bilinear) and per-image
+mask upsample 138 -> (h, w) + 0.5 binarize (output_utils.postprocess).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.models import yolact as yolact_model
+
+
+class YolactPredictor:
+    def __init__(self, cfg: yolact_model.YolactConfig, params=None,
+                 weights: str | None = None, batch_size: int = 1,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.dtype = dtype
+        if params is None:
+            if weights:
+                params = load_yolact_weights(weights, cfg)
+            else:
+                params = yolact_model.init_params(jax.random.PRNGKey(0), cfg)
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+            params,
+        )
+        self.priors = jnp.asarray(yolact_model.make_priors_np(cfg), dtype)
+        cfg_ = cfg
+
+        @jax.jit
+        def _run(params, images_u8):
+            from tpuseg.ops.preprocess import yolact_preprocess
+
+            x = yolact_preprocess(images_u8, size=cfg_.img_size).astype(dtype)
+            preds = yolact_model.forward(params, x, cfg_)
+            preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
+            return yolact_model.detect(preds, jnp.asarray(
+                yolact_model.make_priors_np(cfg_)), cfg_)
+
+        self._run = _run
+
+    def run_batch(self, images_550_u8: np.ndarray) -> dict:
+        """[B,550,550,3] uint8 RGB -> detection dict (numpy)."""
+        out = self._run(self.params, jnp.asarray(images_550_u8))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def postprocess_image(self, det_i: dict, h: int, w: int,
+                          score_threshold: float = 0.0) -> dict:
+        """Slot i of a batch -> final dets in image coords with full-res masks.
+
+        Reference: layers/output_utils.py postprocess — masks were already
+        assembled+cropped at proto resolution on device; here: bilinear
+        upsample to (h, w), binarize at 0.5, scale boxes to pixels.
+        """
+        import cv2
+
+        valid = det_i["valid"] & (det_i["scores"] > score_threshold)
+        boxes = det_i["boxes"][valid]
+        scores = det_i["scores"][valid]
+        classes = det_i["classes"][valid]
+        masks_small = det_i["masks"][valid]
+        n = len(boxes)
+        masks = np.zeros((n, h, w), np.uint8)
+        for i in range(n):
+            m = cv2.resize(masks_small[i], (w, h), interpolation=cv2.INTER_LINEAR)
+            masks[i] = (m > 0.5).astype(np.uint8)
+        px_boxes = boxes * np.asarray([w, h, w, h], np.float32)
+        px_boxes[:, 0::2] = np.clip(px_boxes[:, 0::2], 0, w)
+        px_boxes[:, 1::2] = np.clip(px_boxes[:, 1::2], 0, h)
+        return {
+            "boxes": px_boxes,
+            "scores": scores,
+            "classes": classes,
+            "masks": masks,
+        }
+
+
+def load_yolact_weights(path: str, cfg: yolact_model.YolactConfig) -> dict:
+    from tpuseg.weights.torch_io import flatten_state_dict, load_torch_file
+    from tpuseg.weights.yolact_map import from_torch_state
+
+    flat = flatten_state_dict(load_torch_file(path))
+    return from_torch_state(flat, cfg)
+
+
+def resize_to_square(img_rgb: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(img_rgb, (size, size), interpolation=cv2.INTER_LINEAR)
+
+
+def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
+                     score_threshold: float = 0.0, progress=True):
+    """Full-val mAP table (eval.py no-image-args mode). Returns all_maps."""
+    from tpuseg.eval.yolact_map import calc_map, make_ap_data, prep_metrics, print_maps
+
+    cfg = predictor.cfg
+    ids = dataset.image_ids
+    if max_images:
+        ids = ids[:max_images]
+    bs = predictor.batch_size
+    ap_data = make_ap_data(cfg.num_classes - 1)
+    t_infer = 0.0
+    n_done = 0
+    for start in range(0, len(ids), bs):
+        chunk = ids[start:start + bs]
+        imgs = []
+        metas = []
+        for iid in chunk:
+            img = dataset.load_image(iid)
+            metas.append((iid, img.shape[0], img.shape[1]))
+            imgs.append(resize_to_square(img, cfg.img_size))
+        batch = np.stack(imgs)
+        if len(chunk) < bs:
+            batch = np.pad(batch, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
+        t0 = time.perf_counter()
+        dets = predictor.run_batch(batch)
+        t_infer += time.perf_counter() - t0
+        for bi, (iid, h, w) in enumerate(metas):
+            det_i = {k: v[bi] for k, v in dets.items()}
+            final = predictor.postprocess_image(det_i, h, w, score_threshold)
+            gt = dataset.load_target(iid)
+            prep_metrics(ap_data, final, gt)
+            n_done += 1
+        if progress:
+            print(f"\r{n_done}/{len(ids)} images "
+                  f"({n_done / max(t_infer, 1e-9):.1f} img/s device)",
+                  end="", flush=True)
+    if progress:
+        print()
+    all_maps = calc_map(ap_data, cfg.num_classes - 1)
+    print_maps(all_maps)
+    return all_maps
+
+
+def detections_to_coco_json(final: dict, image_id: int, label_map_inv: dict):
+    """One image's final dets -> COCO result dicts (bbox + segm)."""
+    from tpuseg.eval import rle as rle_mod
+
+    out = []
+    for i in range(len(final["scores"])):
+        x1, y1, x2, y2 = final["boxes"][i]
+        cat = label_map_inv.get(int(final["classes"][i]) + 1,
+                                int(final["classes"][i]) + 1)
+        out.append({
+            "image_id": int(image_id),
+            "category_id": int(cat),
+            "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+            "score": float(final["scores"][i]),
+            "segmentation": rle_mod.encode(final["masks"][i]),
+        })
+    return out
