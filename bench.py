@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Benchmark: YOLACT-550 ResNet50-FPN inference throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north star — >= 200 img/s on a v5e-8, i.e.
+25 img/s/chip. vs_baseline = measured img/s/chip / 25.
+
+The measured program is the full single-jit detect+segment pipeline
+(uint8 in -> preprocess -> backbone -> FPN -> heads -> decode -> Fast-NMS ->
+mask assembly+crop), batch 16, steady state.
+"""
+import json
+import time
+
+BASELINE_IMG_S_PER_CHIP = 200.0 / 8.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuseg.models import yolact as Y
+
+    batch = 16
+    cfg = Y.YolactConfig(backbone="resnet50")
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    images = jnp.asarray(
+        np.random.default_rng(0).integers(0, 255, (batch, 550, 550, 3), np.uint8)
+    )
+
+    run = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))
+    jax.block_until_ready(run(params, images))  # compile
+    # warmup
+    for _ in range(3):
+        jax.block_until_ready(run(params, images))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(run(params, images))
+    dt = (time.perf_counter() - t0) / iters
+    img_s = batch / dt
+    print(json.dumps({
+        "metric": "YOLACT-550 R50-FPN inference throughput (img/s/chip)",
+        "value": round(img_s, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(img_s / BASELINE_IMG_S_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

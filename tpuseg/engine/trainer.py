@@ -1,0 +1,198 @@
+"""Training engine: optimizer, LR schedules, jitted DP train step, checkpoints.
+
+Reference surfaces reproduced:
+  - YOLACT train.py: SGD momentum 0.9 / wd 5e-4, lr warmup (500 iters, from
+    lr/3? — upstream: warmup_until=500, warmup_init=lr/10... the shipped
+    config uses linear warmup from warmup_init to lr), gamma-0.1 steps,
+    ``weights/<cfg>_<epoch>_<iter>`` checkpoint naming with
+    ``--start_iter=-1`` parsed from the filename [README.md:225-237]
+  - detectron solver: WarmupMultiStepLR (SOLVER.STEPS, factor 1/3 warmup)
+    [README.md:277-282]
+
+The train step is ONE jit program: loss + grads + SGD update, with the batch
+sharded over the mesh "data" axis and params replicated — XLA inserts the
+gradient all-reduce over ICI (the jt.mpi/NCCL-DDP equivalent).
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# LR schedules
+# ---------------------------------------------------------------------------
+
+
+def yolact_lr_schedule(base_lr=1e-3, warmup_until=500, warmup_init=1e-4,
+                       steps=(280000, 600000, 700000, 750000), gamma=0.1):
+    """yolact train.py set_lr logic as a pure function of iteration."""
+
+    def lr(it):
+        it = jnp.asarray(it, jnp.float32)
+        warm = warmup_init + (base_lr - warmup_init) * it / warmup_until
+        decays = sum(jnp.where(it >= s, 1, 0) for s in steps)
+        stepped = base_lr * gamma**decays
+        return jnp.where(it < warmup_until, warm, stepped)
+
+    return lr
+
+
+def warmup_multistep_lr(base_lr=0.01, steps=(120000, 160000), gamma=0.1,
+                        warmup_factor=1.0 / 3, warmup_iters=500,
+                        warmup_method="linear"):
+    """maskrcnn-benchmark WarmupMultiStepLR."""
+
+    def lr(it):
+        it = jnp.asarray(it, jnp.float32)
+        if warmup_method == "linear":
+            alpha = it / warmup_iters
+            wf = warmup_factor * (1 - alpha) + alpha
+        else:
+            wf = jnp.asarray(warmup_factor)
+        wf = jnp.where(it < warmup_iters, wf, 1.0)
+        decays = sum(jnp.where(it >= s, 1, 0) for s in steps)
+        return base_lr * wf * gamma**decays
+
+    return lr
+
+
+# ---------------------------------------------------------------------------
+# SGD with momentum + weight decay (reference optimizer for all detectors)
+# ---------------------------------------------------------------------------
+
+
+def sgd_init(params):
+    return jax.tree.map(jnp.zeros_like, params)
+
+
+def sgd_update(params, grads, momentum_buf, lr, momentum=0.9, weight_decay=5e-4):
+    """torch.optim.SGD semantics: buf = m*buf + (grad + wd*p); p -= lr*buf."""
+
+    def upd(p, g, b):
+        if g is None:
+            return p, b
+        g = g + weight_decay * p
+        b = momentum * b + g
+        return p - lr * b, b
+
+    flat_p, treedef = jax.tree.flatten(params)
+    flat_g = jax.tree.leaves(grads)
+    flat_b = jax.tree.leaves(momentum_buf)
+    new_p, new_b = zip(*[upd(p, g, b) for p, g, b in zip(flat_p, flat_g, flat_b)])
+    return jax.tree.unflatten(treedef, new_p), jax.tree.unflatten(treedef, new_b)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint naming (yolact SavePath convention)
+# ---------------------------------------------------------------------------
+
+_CKPT_RE = re.compile(r"^(?P<name>.+)_(?P<epoch>\d+)_(?P<iter>\d+)\.(npz|pth)$")
+
+
+def ckpt_path(folder: str, cfg_name: str, epoch: int, iteration: int) -> str:
+    return os.path.join(folder, f"{cfg_name}_{epoch}_{iteration}.npz")
+
+
+def parse_ckpt_iter(path: str) -> int:
+    """--start_iter=-1: parse the iteration from the filename (README:233)."""
+    m = _CKPT_RE.match(os.path.basename(path))
+    if not m:
+        raise ValueError(f"checkpoint name not parseable: {path}")
+    return int(m.group("iter"))
+
+
+def save_params_npz(path: str, params) -> None:
+    flat = {}
+
+    def rec(tree, pre):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                rec(v, f"{pre}{k}.")
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                rec(v, f"{pre}{i}.")
+        elif tree is not None:
+            flat[pre[:-1]] = np.asarray(tree)
+
+    rec(params, "")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str, like) -> dict:
+    data = np.load(path)
+
+    def rec(tree, pre):
+        if isinstance(tree, dict):
+            return {k: rec(v, f"{pre}{k}.") for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return [rec(v, f"{pre}{i}.") for i, v in enumerate(tree)]
+        if tree is None:
+            return None
+        return jnp.asarray(data[pre[:-1]])
+
+    return rec(like, "")
+
+
+# ---------------------------------------------------------------------------
+# YOLACT train step (single jit program, DP over the mesh)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class YolactTrainer:
+    """Iteration-based trainer mirroring yolact train.py."""
+
+    model_cfg: object
+    loss_cfg: object = None
+    lr_fn: object = None
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+
+    def __post_init__(self):
+        from tpuseg.models.yolact import make_priors_np
+        from tpuseg.models.yolact_loss import YolactLossConfig
+
+        if self.loss_cfg is None:
+            self.loss_cfg = YolactLossConfig()
+        if self.lr_fn is None:
+            self.lr_fn = yolact_lr_schedule()
+        self.priors = jnp.asarray(make_priors_np(self.model_cfg))
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        from tpuseg.models.yolact import forward_train
+        from tpuseg.models.yolact_loss import total_loss
+
+        mcfg, lcfg = self.model_cfg, self.loss_cfg
+        priors = self.priors
+        mom, wd = self.momentum, self.weight_decay
+        lr_fn = self.lr_fn
+
+        def loss_fn(params, images, targets, key):
+            preds, sem = forward_train(params, images, mcfg)
+            losses = total_loss(preds, sem, targets, priors, key, lcfg)
+            return losses["total"], losses
+
+        def step(params, buf, images, targets, key, iteration):
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, targets, key
+            )
+            lr = lr_fn(iteration)
+            params, buf = sgd_update(params, grads, buf, lr, mom, wd)
+            return params, buf, losses
+
+        return step
+
+    def init_state(self, params):
+        return sgd_init(params)
+
+    def train_step(self, params, buf, images, targets, key, iteration):
+        """images [B,H,W,3] float normalized; targets per yolact_loss.total_loss."""
+        return self._step(params, buf, images, targets, key, iteration)

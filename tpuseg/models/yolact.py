@@ -239,6 +239,28 @@ def _crop_masks(masks: jax.Array, boxes_norm: jax.Array, padding: int = 1) -> ja
     return jnp.where(inside, masks, 0.0)
 
 
+def forward_train(params: dict, images: jax.Array, cfg: YolactConfig):
+    """Training forward: raw predictions + semantic seg logits at P3 scale
+    (yolact.py: semantic_seg_conv on the first FPN level, train only)."""
+    feats = backbone_forward(params, images, cfg)
+    pyramid = fpn_nn.yolact_fpn_forward(params["fpn"], feats)
+    proto = _protonet(params["proto"], pyramid[0])
+    locs, confs, coeffs = [], [], []
+    for p in pyramid:
+        loc, conf, coeff = _prediction_head(params["pred"], p, cfg)
+        locs.append(loc)
+        confs.append(conf)
+        coeffs.append(coeff)
+    sem = L.conv2d(pyramid[0], params["semantic"])
+    preds = {
+        "proto": proto,
+        "loc": jnp.concatenate(locs, 1),
+        "conf": jnp.concatenate(confs, 1),
+        "coeff": jnp.concatenate(coeffs, 1),
+    }
+    return preds, sem
+
+
 def full_pipeline(params: dict, priors: jax.Array, images_u8: jax.Array,
                   cfg: YolactConfig) -> dict:
     """uint8 RGB [B,H,W,3] -> detections. The single-jit-program path."""
