@@ -1,0 +1,213 @@
+"""Mask R-CNN predictor + eval engine (detectron.jittor COCODemo /
+tools/test_net.py parity).
+
+Host side: PIL bilinear resize to shortest-edge-800 (the reference's
+torchvision transform), BGR mean subtraction, placement on one of two static
+canvases (landscape 800x1344 / portrait 1344x800 — conv zero-padding makes
+canvas features identical to the unpadded reference inside the real region).
+Device side: one jit program per canvas (backbone->FPN->RPN->RoI heads).
+Post: Masker-exact 28x28 -> image-coords mask pasting.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.models import maskrcnn as M
+from tpuseg.ops.preprocess import DETECTRON_PIXEL_MEAN_BGR, detectron_target_size
+
+CANVAS_LANDSCAPE = (800, 1344)
+CANVAS_PORTRAIT = (1344, 800)
+
+
+def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
+    """-> (canvas float32 [Hc,Wc,3], (th, tw) real size, scale)."""
+    from PIL import Image
+
+    h, w = img_bgr.shape[:2]
+    th, tw = detectron_target_size(h, w, min_size, max_size)
+    pil = Image.fromarray(img_bgr[:, :, ::-1])  # PIL wants RGB
+    resized = np.asarray(pil.resize((tw, th), Image.BILINEAR))[:, :, ::-1]
+    canvas_hw = CANVAS_LANDSCAPE if tw >= th else CANVAS_PORTRAIT
+    canvas = np.zeros((*canvas_hw, 3), np.float32)
+    canvas[:th, :tw] = resized.astype(np.float32) - np.asarray(
+        DETECTRON_PIXEL_MEAN_BGR, np.float32)
+    return canvas, (th, tw), th / h
+
+
+class MaskRCNNPredictor:
+    """COCODemo-equivalent programmatic API (README.md:288-335)."""
+
+    def __init__(self, cfg: M.MaskRCNNConfig | None = None, params=None,
+                 weights: str | None = None, batch_size: int = 1,
+                 confidence_threshold: float = 0.5, min_image_size: int = 800,
+                 dtype=jnp.float32):
+        self.cfg = cfg or M.MaskRCNNConfig()
+        self.batch_size = batch_size
+        self.confidence_threshold = confidence_threshold
+        self.min_image_size = min_image_size
+        self.dtype = dtype
+        if params is None:
+            if weights:
+                params = load_detectron_weights(weights, self.cfg)
+            else:
+                params = M.init_params(jax.random.PRNGKey(0), self.cfg)
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), params)
+        self._runs = {}
+        mcfg = self.cfg
+
+        def make_run(canvas_hw):
+            @jax.jit
+            def run(params, images, image_hw):
+                out = M.forward_inference(
+                    params, images.astype(dtype), image_hw, mcfg)
+                return {k: v.astype(jnp.float32) if v.dtype != jnp.bool_
+                        and jnp.issubdtype(v.dtype, jnp.floating) else v
+                        for k, v in out.items()}
+            return run
+
+        self._make_run = make_run
+
+    def _run_for(self, canvas_hw):
+        if canvas_hw not in self._runs:
+            self._runs[canvas_hw] = self._make_run(canvas_hw)
+        return self._runs[canvas_hw]
+
+    def run_on_bgr_image(self, img_bgr: np.ndarray) -> dict:
+        """Single image -> final detections in original-image coords."""
+        canvas, (th, tw), scale = preprocess_image_bgr(
+            img_bgr, self.min_image_size)
+        run = self._run_for(canvas.shape[:2])
+        out = run(self.params, jnp.asarray(canvas)[None],
+                  jnp.asarray([[th, tw]], jnp.int32))
+        out = {k: np.asarray(v)[0] for k, v in out.items()}
+        h, w = img_bgr.shape[:2]
+        valid = out["valid"] & (out["scores"] >= 0.0)
+        boxes = out["boxes"][valid] / scale
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w - 1)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h - 1)
+        masks = paste_masks(out["masks"][valid], boxes, h, w)
+        return {
+            "boxes": boxes,
+            "scores": out["scores"][valid],
+            "classes": out["classes"][valid],
+            "masks": masks,
+        }
+
+    def select_top_predictions(self, preds: dict) -> dict:
+        keep = preds["scores"] >= self.confidence_threshold
+        order = np.argsort(-preds["scores"][keep])
+        return {k: v[keep][order] for k, v in preds.items()}
+
+
+def load_detectron_weights(path: str, cfg: M.MaskRCNNConfig) -> dict:
+    from tpuseg.weights.detectron_map import from_torch_state
+    from tpuseg.weights.torch_io import flatten_state_dict, load_torch_file
+
+    flat = flatten_state_dict(load_torch_file(path))
+    return from_torch_state(flat, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Mask pasting (mask_head/inference.py Masker — exact semantics)
+# ---------------------------------------------------------------------------
+
+
+def paste_mask_in_image(mask28: np.ndarray, box: np.ndarray, im_h: int,
+                        im_w: int, thresh: float = 0.5, padding: int = 1):
+    import cv2
+
+    m = mask28.shape[0]
+    padded = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
+    padded[padding:-padding, padding:-padding] = mask28
+    scale = (m + 2 * padding) / m
+    # expand box by the same scale
+    w_half = (box[2] - box[0]) * 0.5 * scale
+    h_half = (box[3] - box[1]) * 0.5 * scale
+    x_c = (box[2] + box[0]) * 0.5
+    y_c = (box[3] + box[1]) * 0.5
+    ebox = np.array([x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half])
+    ebox = ebox.astype(np.int64)
+    w = max(int(ebox[2] - ebox[0] + 1), 1)
+    h = max(int(ebox[3] - ebox[1] + 1), 1)
+    resized = cv2.resize(padded, (w, h), interpolation=cv2.INTER_LINEAR)
+    if thresh >= 0:
+        resized = (resized > thresh).astype(np.uint8)
+    out = np.zeros((im_h, im_w), np.uint8)
+    x0 = max(int(ebox[0]), 0)
+    x1 = min(int(ebox[2]) + 1, im_w)
+    y0 = max(int(ebox[1]), 0)
+    y1 = min(int(ebox[3]) + 1, im_h)
+    if x1 > x0 and y1 > y0:
+        out[y0:y1, x0:x1] = resized[
+            (y0 - ebox[1]):(y1 - ebox[1]), (x0 - ebox[0]):(x1 - ebox[0])]
+    return out
+
+
+def paste_masks(masks28: np.ndarray, boxes: np.ndarray, im_h: int, im_w: int):
+    n = len(boxes)
+    out = np.zeros((n, im_h, im_w), np.uint8)
+    for i in range(n):
+        out[i] = paste_mask_in_image(masks28[i], boxes[i], im_h, im_w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# COCO evaluation loop (tools/test_net.py parity)
+# ---------------------------------------------------------------------------
+
+# contiguous class id (0-based, no bg) -> COCO category id
+COCO_CATEGORY_IDS = [
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19, 20, 21,
+    22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42,
+    43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+    62, 63, 64, 65, 67, 70, 72, 73, 74, 75, 76, 77, 78, 79, 80, 81, 82, 84,
+    85, 86, 87, 88, 89, 90,
+]
+
+
+def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
+                  progress=True):
+    """Run COCO bbox+segm eval via our COCOeval clone. Returns stats dict."""
+    import time
+
+    from tpuseg.eval import rle as rle_mod
+    from tpuseg.eval.cocoeval import COCOeval
+
+    ids = dataset.image_ids
+    if max_images:
+        ids = ids[:max_images]
+    results = []
+    t0 = time.perf_counter()
+    for n, iid in enumerate(ids, 1):
+        img_rgb = dataset.load_image(iid)
+        preds = predictor.run_on_bgr_image(img_rgb[:, :, ::-1])
+        for i in range(len(preds["scores"])):
+            x1, y1, x2, y2 = preds["boxes"][i]
+            results.append({
+                "image_id": int(iid),
+                "category_id": COCO_CATEGORY_IDS[int(preds["classes"][i])],
+                "bbox": [float(x1), float(y1), float(x2 - x1 + 1),
+                         float(y2 - y1 + 1)],
+                "score": float(preds["scores"][i]),
+                "segmentation": rle_mod.encode(preds["masks"][i]),
+            })
+        if progress and n % 20 == 0:
+            print(f"\r{n}/{len(ids)} ({n / (time.perf_counter() - t0):.2f} img/s)",
+                  end="", flush=True)
+    if progress:
+        print()
+    stats = {}
+    for iou_type in ("bbox", "segm"):
+        print(f"== {iou_type} ==")
+        E = COCOeval(dataset.coco, dataset.coco.loadRes(results), iou_type)
+        E.evaluate()
+        E.accumulate()
+        E.summarize()
+        stats[iou_type] = E.stats
+    return stats

@@ -1,0 +1,400 @@
+"""Mask R-CNN (detectron.jittor GeneralizedRCNN capability, R-50-FPN).
+
+Reference stack (SURVEY.md §2.1, §3.1; maskrcnn-benchmark port): ResNet-50
+FrozenBN backbone -> FPN (P2..P6) -> RPN (per-level top-1000, NMS 0.7,
+cross-level top-1000) -> RoIAlign 7x7 box head (2FC -> 81-way cls +
+class-specific regression; per-class NMS 0.5, <=100 dets) -> RoIAlign 14x14
+mask head (4conv + deconv -> 28x28 per-class masks).
+
+TPU-native shape policy: ONE jit program per (canvas, batch) pair.
+Images are resized shortest-edge-800 (cap 1333) on device and placed on a
+static canvas (800x1344 landscape / 1344x800 portrait — conv zero-padding
+makes canvas features bit-identical to the unpadded reference inside the
+real image region). Anchors over the padded region are masked to -inf
+objectness, which reproduces the reference's per-image anchor grids.
+Everything downstream is padded/ranked, never filtered:
+  pre-NMS 1000/level -> post-NMS <=1000/level -> 1000 global proposals ->
+  80-class decode -> top-2048 class-box candidates -> batched class-aware
+  NMS -> 100 detections -> mask head.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.core import boxes as box_ops
+from tpuseg.nn import fpn as fpn_nn
+from tpuseg.nn import layers as L
+from tpuseg.nn import resnet as resnet_nn
+from tpuseg.ops import nms as nms_ops
+from tpuseg.ops import sampling
+
+
+@dataclass(frozen=True)
+class MaskRCNNConfig:
+    depth: int = 50
+    # anchors (maskrcnn-benchmark FPN defaults)
+    anchor_sizes: tuple = (32, 64, 128, 256, 512)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    anchor_stride: tuple = (4, 8, 16, 32, 64)
+    # rpn test-time
+    rpn_pre_nms_top_n: int = 1000
+    rpn_post_nms_top_n: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    fpn_post_nms_top_n: int = 1000
+    # roi box head
+    num_classes: int = 81
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 2
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    pre_final_nms_topk: int = 2048  # static cap on class-box candidates
+    # mask head
+    mask_resolution: int = 14
+    mask_out: int = 28
+    fpn_channels: int = 256
+
+
+# ---------------------------------------------------------------------------
+# Anchors (detectron/modeling/rpn/anchor_generator.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def _generate_cell_anchors(size: float, ratios, base: float = None) -> np.ndarray:
+    """One stride's A anchors centered at the cell origin (Caffe2 generate_anchors)."""
+    # Caffe2 algorithm: base anchor [0, 0, stride-1, stride-1] reshaped by
+    # ratio then scaled — reproduced exactly (affects boxes by <1px but
+    # matters for weight parity).
+    stride = base
+    anchor = np.array([1, 1, stride, stride], np.float64) - 1
+    w = anchor[2] - anchor[0] + 1
+    h = anchor[3] - anchor[1] + 1
+    x_ctr = anchor[0] + 0.5 * (w - 1)
+    y_ctr = anchor[1] + 0.5 * (h - 1)
+    size_ratios = w * h / np.asarray(ratios, np.float64)
+    ws = np.round(np.sqrt(size_ratios))
+    hs = np.round(ws * np.asarray(ratios, np.float64))
+    anchors = np.stack(
+        [
+            x_ctr - 0.5 * (ws - 1),
+            y_ctr - 0.5 * (hs - 1),
+            x_ctr + 0.5 * (ws - 1),
+            y_ctr + 0.5 * (hs - 1),
+        ],
+        axis=1,
+    )
+    # scale enumeration
+    scale = size / stride
+    out = []
+    for a in anchors:
+        w = a[2] - a[0] + 1
+        h = a[3] - a[1] + 1
+        xc = a[0] + 0.5 * (w - 1)
+        yc = a[1] + 0.5 * (h - 1)
+        ws = w * scale
+        hs = h * scale
+        out.append(
+            [xc - 0.5 * (ws - 1), yc - 0.5 * (hs - 1),
+             xc + 0.5 * (ws - 1), yc + 0.5 * (hs - 1)]
+        )
+    return np.asarray(out, np.float64)
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def fpn_level_hw(h: int, w: int, stride: int) -> tuple:
+    """Feature extent at a pyramid level: successive ceil-halvings (conv
+    arithmetic: stem s2 p3 k7, pool s2 p1 k3, stage s2 convs, P6 pool k1 s2
+    all reduce by ceil(n/2)) == ceil(n / stride)."""
+    return _ceil_div(h, stride), _ceil_div(w, stride)
+
+
+@functools.lru_cache(maxsize=16)
+def make_anchors_np(cfg: MaskRCNNConfig, canvas_h: int, canvas_w: int):
+    """Per-level anchors [Hl*Wl*A, 4] over the static canvas."""
+    out = []
+    for size, stride in zip(cfg.anchor_sizes, cfg.anchor_stride):
+        cell = _generate_cell_anchors(size, cfg.anchor_ratios, base=stride)
+        hl, wl = fpn_level_hw(canvas_h, canvas_w, stride)
+        sx = np.arange(wl) * stride
+        sy = np.arange(hl) * stride
+        shift_x, shift_y = np.meshgrid(sx, sy)
+        shifts = np.stack(
+            [shift_x.ravel(), shift_y.ravel(), shift_x.ravel(), shift_y.ravel()], 1
+        )
+        anchors = (shifts[:, None, :] + cell[None, :, :]).reshape(-1, 4)
+        out.append(anchors.astype(np.float32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+
+def rpn_head(params: dict, feats: list, num_anchors: int):
+    """Shared RPN head over levels -> per-level (objectness, deltas)."""
+    logits, deltas = [], []
+    for f in feats:
+        t = L.relu(L.conv2d(f, params["conv"], padding=1))
+        b = t.shape[0]
+        logits.append(L.conv2d(t, params["cls"]).reshape(b, -1))
+        deltas.append(L.conv2d(t, params["bbox"]).reshape(b, -1, 4))
+    return logits, deltas
+
+
+def box_head(params: dict, pooled: jax.Array, cfg: MaskRCNNConfig):
+    """[N, 7, 7, C] -> (cls_logits [N, 81], box_deltas [N, 81*4])."""
+    n = pooled.shape[0]
+    x = pooled.reshape(n, -1)
+    x = L.relu(L.linear(x, params["fc6"]))
+    x = L.relu(L.linear(x, params["fc7"]))
+    return L.linear(x, params["cls_score"]), L.linear(x, params["bbox_pred"])
+
+
+def mask_head(params: dict, pooled: jax.Array):
+    """[N, 14, 14, C] -> [N, 28, 28, num_classes] logits."""
+    x = pooled
+    for i in range(1, 5):
+        x = L.relu(L.conv2d(x, params[f"mask_fcn{i}"], padding=1))
+    x = L.relu(L.conv_transpose2d(x, params["conv5_mask"], stride=2))
+    return L.conv2d(x, params["mask_fcn_logits"])
+
+
+# ---------------------------------------------------------------------------
+# RPN proposal generation (rpn/inference.py)
+# ---------------------------------------------------------------------------
+
+
+def rpn_proposals(
+    logits: list,
+    deltas: list,
+    anchors: list,
+    image_hw: jax.Array,  # [B, 2] real (h, w) on the canvas
+    cfg: MaskRCNNConfig,
+    canvas_hw: tuple,
+):
+    """-> (proposals [B, P, 4], scores [B, P], valid [B, P]); P = fpn top n."""
+    b = logits[0].shape[0]
+    lvl_boxes, lvl_scores, lvl_valid = [], [], []
+    for li, (lg, dl, an) in enumerate(zip(logits, deltas, anchors)):
+        stride = cfg.anchor_stride[li]
+        hl, wl = fpn_level_hw(canvas_hw[0], canvas_hw[1], stride)
+        a = an.shape[0] // (hl * wl)
+        # mask anchors whose grid position is outside the real feature extent
+        # (reproduces the reference's unpadded per-image anchor grid)
+        gy = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
+        real_h = -(-image_hw[:, 0] // stride)  # ceil div, [B]
+        real_w = -(-image_hw[:, 1] // stride)
+        inside = (
+            (gy[None] < real_h[:, None, None])
+            & (gx[None] < real_w[:, None, None])
+        )  # [B, hl, wl]
+        inside = jnp.repeat(inside.reshape(b, -1), a, axis=1)  # [B, hl*wl*A]
+
+        k = min(cfg.rpn_pre_nms_top_n, lg.shape[1])
+        obj = jax.nn.sigmoid(lg)
+        _, idx, top_valid = box_ops.masked_topk(lg, inside, k)
+
+        def per_image(dl_i, idx_i, hw_i):
+            boxes = box_ops.decode_boxes(dl_i[idx_i], an[idx_i],
+                                         weights=(1.0, 1.0, 1.0, 1.0))
+            boxes = box_ops.clip_to_image(boxes, hw_i[0] - 1, hw_i[1] - 1)
+            return boxes
+
+        boxes = jax.vmap(per_image)(dl, idx, image_hw)
+        nonempty = box_ops.nonempty_mask(boxes, cfg.rpn_min_size)
+        valid = top_valid & nonempty
+        scores = jnp.take_along_axis(obj, idx, axis=1)
+
+        def nms_one(bx, sc, va):
+            keep = nms_ops.nms_mask(bx, sc, cfg.rpn_nms_thresh, valid=va)
+            return keep
+
+        keep = jax.vmap(nms_one)(boxes, scores, valid)
+        lvl_boxes.append(boxes)
+        lvl_scores.append(jnp.where(keep, scores, 0.0))
+        lvl_valid.append(keep)
+    all_boxes = jnp.concatenate(lvl_boxes, 1)
+    all_scores = jnp.concatenate(lvl_scores, 1)
+    all_valid = jnp.concatenate(lvl_valid, 1)
+    top_s, idx, valid = box_ops.masked_topk(
+        all_scores, all_valid, cfg.fpn_post_nms_top_n
+    )
+    boxes = jnp.take_along_axis(all_boxes, idx[..., None], axis=1)
+    return boxes, top_s, valid
+
+
+# ---------------------------------------------------------------------------
+# FPN pooler (poolers.py LevelMapper + RoIAlign)
+# ---------------------------------------------------------------------------
+
+
+def assign_levels(boxes: jax.Array, k_min=2, k_max=5, canonical_scale=224,
+                  canonical_level=4, eps=1e-6):
+    s = jnp.sqrt(box_ops.area(boxes))
+    lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale + eps))
+    return jnp.clip(lvl, k_min, k_max).astype(jnp.int32) - k_min
+
+
+def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
+                        resolution: int, sampling_ratio: int,
+                        strides=(4, 8, 16, 32)):
+    """Multi-level RoIAlign: pool every box from its assigned level.
+
+    feats: [P2, P3, P4, P5] NHWC. boxes [N, 4] canvas coords. Pools each box
+    at all 4 levels? No — gathers per level with masking, summing one-hot
+    level selections (static shapes, no data-dependent partition).
+    """
+    levels = assign_levels(boxes)
+    out = None
+    for li, (f, stride) in enumerate(zip(feats, strides)):
+        pooled = sampling.roi_align(
+            f, boxes, batch_idx, output_size=resolution,
+            spatial_scale=1.0 / stride, sampling_ratio=sampling_ratio,
+        )
+        sel = (levels == li).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full inference pipeline
+# ---------------------------------------------------------------------------
+
+
+def backbone_fpn(params: dict, images: jax.Array, cfg: MaskRCNNConfig):
+    rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
+                                  frozen_bn=True)
+    feats = resnet_nn.forward(params["backbone"], images, rcfg)
+    pyr = fpn_nn.fpn_forward(params["fpn"], feats, with_p6=True)
+    return [pyr["p2"], pyr["p3"], pyr["p4"], pyr["p5"], pyr["p6"]]
+
+
+def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
+                      cfg: MaskRCNNConfig):
+    """images [B,Hc,Wc,3] preprocessed on static canvas; image_hw [B,2] real
+    sizes. -> dict of padded detections incl. 28x28 per-class masks."""
+    b, ch, cw, _ = images.shape
+    pyramid = backbone_fpn(params, images, cfg)
+    na = len(cfg.anchor_ratios)
+    logits, deltas = rpn_head(params["rpn"], pyramid, na)
+    anchors = [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)]
+    proposals, p_scores, p_valid = rpn_proposals(
+        logits, deltas, anchors, image_hw, cfg, (ch, cw))
+
+    # ---- box head over B*P rois
+    p = proposals.shape[1]
+    flat_boxes = proposals.reshape(b * p, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), p)
+    pooled = pooled_roi_features(
+        pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
+        cfg.pooler_sampling_ratio)
+    cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
+    scores = jax.nn.softmax(cls_logits, -1).reshape(b, p, cfg.num_classes)
+    box_deltas = box_deltas.reshape(b, p, cfg.num_classes * 4)
+
+    def per_image(props, props_valid, sc, dl, hw):
+        # class-specific decode (skip background col 0)
+        decoded = box_ops.decode_boxes(
+            dl, props, weights=cfg.box_reg_weights)  # [P, 81*4]
+        decoded = decoded.reshape(p, cfg.num_classes, 4)[:, 1:, :]
+        decoded = box_ops.clip_to_image(decoded, hw[0] - 1, hw[1] - 1)
+        cls_scores = sc[:, 1:]  # [P, 80]
+        nonempty = box_ops.nonempty_mask(decoded)
+        cand_valid = (
+            props_valid[:, None]
+            & (cls_scores > cfg.score_thresh)
+            & nonempty
+        )
+        flat_s = cls_scores.reshape(-1)
+        flat_b = decoded.reshape(-1, 4)
+        flat_c = jnp.tile(jnp.arange(cfg.num_classes - 1), (p,))
+        top_s, sel, sel_valid = box_ops.masked_topk(
+            flat_s, cand_valid.reshape(-1), cfg.pre_final_nms_topk)
+        cboxes = flat_b[sel]
+        cclasses = flat_c[sel]
+        keep = nms_ops.batched_nms_mask(
+            cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
+        fin_s, fidx, fvalid = box_ops.masked_topk(
+            jnp.where(keep, top_s, -jnp.inf), keep, cfg.detections_per_img)
+        return cboxes[fidx], jnp.where(fvalid, fin_s, 0.0), cclasses[fidx], fvalid
+
+    det_boxes, det_scores, det_classes, det_valid = jax.vmap(per_image)(
+        proposals, p_valid, scores, box_deltas, image_hw)
+
+    # ---- mask head on the detections
+    d = cfg.detections_per_img
+    flat_det = det_boxes.reshape(b * d, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), d)
+    mask_pooled = pooled_roi_features(
+        pyramid[:4], flat_det, flat_bidx, cfg.mask_resolution,
+        cfg.pooler_sampling_ratio)
+    mask_logits = mask_head(params["mask_head"], mask_pooled)
+    mask_logits = mask_logits.reshape(b, d, cfg.mask_out, cfg.mask_out,
+                                      cfg.num_classes)
+    cls_idx = det_classes + 1  # logits include background channel
+    masks = jnp.take_along_axis(
+        mask_logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+    masks = jax.nn.sigmoid(masks)
+    return {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": det_classes,  # 0-based (no background)
+        "masks": masks,  # [B, 100, 28, 28] probabilities
+        "valid": det_valid,
+        "proposals": proposals,
+        "proposal_valid": p_valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Init (shape-compatible with converted detectron weights)
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: MaskRCNNConfig, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 32))
+    rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
+                                  frozen_bn=True)
+    fc = cfg.fpn_channels
+    na = len(cfg.anchor_ratios)
+    nc = cfg.num_classes
+    pr = cfg.pooler_resolution
+    return {
+        "backbone": resnet_nn.init_params(next(keys), rcfg, dtype),
+        "fpn": fpn_nn.fpn_init(next(keys), (256, 512, 1024, 2048), fc, dtype),
+        "rpn": {
+            "conv": L.conv_params(next(keys), 3, 3, fc, fc, dtype=dtype),
+            "cls": L.conv_params(next(keys), 1, 1, fc, na, dtype=dtype),
+            "bbox": L.conv_params(next(keys), 1, 1, fc, na * 4, dtype=dtype),
+        },
+        "box_head": {
+            "fc6": L.linear_params(next(keys), pr * pr * fc, 1024, dtype=dtype),
+            "fc7": L.linear_params(next(keys), 1024, 1024, dtype=dtype),
+            "cls_score": L.linear_params(next(keys), 1024, nc, dtype=dtype),
+            "bbox_pred": L.linear_params(next(keys), 1024, nc * 4, dtype=dtype),
+        },
+        "mask_head": {
+            **{
+                f"mask_fcn{i}": L.conv_params(next(keys), 3, 3, fc, fc, dtype=dtype)
+                for i in range(1, 5)
+            },
+            "conv5_mask": {
+                "weight": jax.random.normal(next(keys), (2, 2, fc, fc), dtype) * 0.01,
+                "bias": jnp.zeros((fc,), dtype),
+            },
+            "mask_fcn_logits": L.conv_params(next(keys), 1, 1, fc, nc, dtype=dtype),
+        },
+    }

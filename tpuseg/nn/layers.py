@@ -50,6 +50,24 @@ def conv2d(
     return out
 
 
+def conv_transpose2d(x: jax.Array, p: dict, stride: int = 2) -> jax.Array:
+    """torch ConvTranspose2d (padding=0). Weight stored as
+    torch_weight.transpose(2, 3, 0, 1) i.e. [kh, kw, in, out]; verified
+    numerically identical to torch (tests/test_maskrcnn.py)."""
+    w = p["weight"].astype(x.dtype)
+    out = jax.lax.conv_transpose(
+        x,
+        w,
+        strides=(stride, stride),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        transpose_kernel=True,
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"].astype(x.dtype)
+    return out
+
+
 def linear(x: jax.Array, p: dict) -> jax.Array:
     """Dense layer; weight stored [in, out] (torch [out, in] transposed at load)."""
     out = jnp.dot(x, p["weight"].astype(x.dtype))
