@@ -21,16 +21,27 @@ def main():
     import numpy as np
 
     from tpuseg.models import yolact as Y
+    from tpuseg.ops.preprocess import yolact_preprocess
 
-    batch = 16
+    batch = 32
+    dtype = jnp.bfloat16  # backbone/heads bf16; decode/NMS/masks f32
     cfg = Y.YolactConfig(backbone="resnet50")
-    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        Y.init_params(jax.random.PRNGKey(0), cfg))
     priors = jnp.asarray(Y.make_priors_np(cfg))
     images = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (batch, 550, 550, 3), np.uint8)
     )
 
-    run = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))
+    def pipe(p, im):
+        x = yolact_preprocess(im, size=cfg.img_size).astype(dtype)
+        preds = Y.forward(p, x, cfg)
+        preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
+        return Y.detect(preds, priors, cfg)
+
+    run = jax.jit(pipe)
     jax.block_until_ready(run(params, images))  # compile
     # warmup
     for _ in range(3):

@@ -118,3 +118,31 @@ def test_affine_align_shapes(rng):
     theta = rng.standard_normal((2, 5, 2, 3)).astype(np.float32) * 0.5
     out = S.affine_align(jnp.asarray(feat), jnp.asarray(theta), 16)
     assert out.shape == (2, 5, 16, 16, 4)
+
+
+def test_multilevel_roi_align_matches_per_level(rng):
+    import jax.numpy as jnp
+
+    feats = tuple(
+        jnp.asarray(rng.standard_normal((2, hw, hw, 8)).astype(np.float32))
+        for hw in (32, 16, 8, 4)
+    )
+    strides = (4, 8, 16, 32)
+    n = 24
+    xy = rng.uniform(0, 60, (n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 120, (n, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+    bi = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    levels = jnp.asarray(rng.integers(0, 4, n).astype(np.int32))
+    got = np.asarray(S.multilevel_roi_align(
+        feats, boxes, bi, levels, output_size=7, sampling_ratio=2,
+        strides=strides, chunk=8))
+    # golden: per-level roi_align + select
+    want = np.zeros_like(got)
+    for li, (f, st) in enumerate(zip(feats, strides)):
+        pooled = np.asarray(S.roi_align(
+            f, boxes, bi, output_size=7, spatial_scale=1.0 / st,
+            sampling_ratio=2, chunk=8))
+        sel = np.asarray(levels) == li
+        want[sel] = pooled[sel]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -251,22 +251,13 @@ def assign_levels(boxes: jax.Array, k_min=2, k_max=5, canonical_scale=224,
 def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
                         resolution: int, sampling_ratio: int,
                         strides=(4, 8, 16, 32)):
-    """Multi-level RoIAlign: pool every box from its assigned level.
-
-    feats: [P2, P3, P4, P5] NHWC. boxes [N, 4] canvas coords. Pools each box
-    at all 4 levels? No — gathers per level with masking, summing one-hot
-    level selections (static shapes, no data-dependent partition).
-    """
+    """Multi-level RoIAlign: each box pooled from its assigned FPN level
+    via one fused gather over the concatenated pyramid (Pooler semantics;
+    see sampling.multilevel_roi_align)."""
     levels = assign_levels(boxes)
-    out = None
-    for li, (f, stride) in enumerate(zip(feats, strides)):
-        pooled = sampling.roi_align(
-            f, boxes, batch_idx, output_size=resolution,
-            spatial_scale=1.0 / stride, sampling_ratio=sampling_ratio,
-        )
-        sel = (levels == li).astype(pooled.dtype)[:, None, None, None]
-        out = pooled * sel if out is None else out + pooled * sel
-    return out
+    return sampling.multilevel_roi_align(
+        tuple(feats), boxes, batch_idx, levels, output_size=resolution,
+        sampling_ratio=sampling_ratio, strides=strides)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _bilinear_corners(y, x, height, width):
@@ -237,6 +238,105 @@ def roi_pool(
             xs_p.reshape(nchunks, chunk, p * s),
             bi_p.reshape(nchunks, chunk),
         ),
+    )
+    return out.reshape(nchunks * chunk, p, p, c)[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "strides", "chunk"),
+)
+def multilevel_roi_align(
+    feats: tuple,
+    boxes: jax.Array,
+    batch_idx: jax.Array,
+    levels: jax.Array,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    strides: tuple = (4, 8, 16, 32),
+    chunk: int = 256,
+) -> jax.Array:
+    """FPN pooler: each box pooled from its assigned level, ONE fused gather.
+
+    feats: tuple of [B, Hl, Wl, C] maps; levels [N] in [0, L). Equivalent to
+    per-level :func:`roi_align` + one-hot sum (detectron Pooler semantics)
+    but gathers once from a concatenated flat pyramid — 1/L the gather
+    volume of the masking approach.
+    """
+    b = feats[0].shape[0]
+    c = feats[0].shape[-1]
+    n = boxes.shape[0]
+    p = output_size
+    s = sampling_ratio
+    shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    flat = jnp.concatenate(
+        [f.reshape(b, -1, c) for f in feats], axis=1
+    )  # [B, sum(Hl*Wl), C]
+    total = flat.shape[1]
+    flat = flat.reshape(b * total, c)
+    level_off = np.cumsum([0] + [h * w for h, w in shapes])[:-1]
+
+    hs = jnp.asarray([h for h, _ in shapes], boxes.dtype)
+    ws = jnp.asarray([w for _, w in shapes], boxes.dtype)
+    offs = jnp.asarray(level_off, jnp.int32)
+    scales = jnp.asarray([1.0 / st for st in strides], boxes.dtype)
+
+    lvl_h = hs[levels]  # [N]
+    lvl_w = ws[levels]
+    lvl_off = offs[levels]
+    lvl_scale = scales[levels]
+
+    x1 = boxes[:, 0] * lvl_scale
+    y1 = boxes[:, 1] * lvl_scale
+    x2 = boxes[:, 2] * lvl_scale
+    y2 = boxes[:, 3] * lvl_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    grid = (jnp.arange(p * s, dtype=boxes.dtype) + 0.5) / s
+    ys = y1[:, None] + grid[None, :] * (roi_h / p)[:, None]  # [N, PS]
+    xs = x1[:, None] + grid[None, :] * (roi_w / p)[:, None]
+
+    base = batch_idx.astype(jnp.int32) * total + lvl_off  # [N]
+
+    def one_chunk(args):
+        ys_c, xs_c, base_c, h_c, w_c = args
+        yy = jnp.broadcast_to(ys_c[:, :, None], ys_c.shape + (p * s,))
+        xx = jnp.broadcast_to(xs_c[:, None, :], ys_c.shape + (p * s,))
+        h3 = h_c[:, None, None]
+        w3 = w_c[:, None, None]
+        # bilinear with per-box dynamic extents (ROIAlign border semantics)
+        oob = (yy < -1.0) | (yy > h3) | (xx < -1.0) | (xx > w3)
+        y = jnp.clip(yy, 0.0, h3 - 1)
+        x = jnp.clip(xx, 0.0, w3 - 1)
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        y1i = jnp.minimum(y0 + 1, h3 - 1)
+        x1i = jnp.minimum(x0 + 1, w3 - 1)
+        ly = y - y0
+        lx = x - x0
+        hy = 1.0 - ly
+        hx = 1.0 - lx
+        w4 = jnp.stack([hy * hx, hy * lx, ly * hx, ly * lx], -1)
+        w4 = jnp.where(oob[..., None], 0.0, w4)
+        yi = jnp.stack([y0, y0, y1i, y1i], -1).astype(jnp.int32)
+        xi = jnp.stack([x0, x1i, x0, x1i], -1).astype(jnp.int32)
+        idx4 = base_c[:, None, None, None] + yi * w3.astype(jnp.int32)[..., None] + xi
+        out = _gather_weighted(flat, idx4, w4)
+        nc = out.shape[0]
+        return out.reshape(nc, p, s, p, s, c).mean(axis=(2, 4)).astype(
+            feats[0].dtype)
+
+    pad = (-n) % chunk
+    args = (
+        jnp.pad(ys, ((0, pad), (0, 0))),
+        jnp.pad(xs, ((0, pad), (0, 0))),
+        jnp.pad(base, ((0, pad),)),
+        jnp.pad(lvl_h, ((0, pad),), constant_values=1),
+        jnp.pad(lvl_w, ((0, pad),), constant_values=1),
+    )
+    nchunks = (n + pad) // chunk
+    out = jax.lax.map(
+        one_chunk, tuple(a.reshape((nchunks, chunk) + a.shape[1:]) for a in args)
     )
     return out.reshape(nchunks * chunk, p, p, c)[:n]
 
