@@ -1,0 +1,103 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuseg.models import maskrcnn as M
+from tpuseg.models import maskrcnn_loss as ML
+
+
+def test_matcher_semantics():
+    gt = jnp.asarray([[0, 0, 10, 10], [20, 20, 30, 30]], jnp.float32)
+    gv = jnp.asarray([True, True])
+    anchors = jnp.asarray([
+        [0, 0, 10, 10],     # iou 1.0 with gt0 -> fg
+        [0, 0, 20, 20],     # iou .25 gt0 -> below low -> bg
+        [1, 1, 11, 11],     # iou ~.68 -> between -> ignore
+        [100, 100, 110, 110],  # iou 0 -> bg
+    ], jnp.float32)
+    midx, label = ML.match_targets(gt, gv, anchors, 0.7, 0.3, False)
+    assert list(np.asarray(label)) == [1, 0, -1, 0]
+    assert int(midx[0]) == 0
+    # low-quality: anchor 3 is nobody's best; gt1's best anchor is forced fg
+    midx2, label2 = ML.match_targets(gt, gv, anchors, 0.7, 0.3, True)
+    # gt1's best anchor is idx 1 (iou([0,0,20,20],[20,20,30,30])=0) hmm all 0
+    # use anchors where gt1 has a nonzero best
+    anchors = jnp.asarray([
+        [0, 0, 10, 10],
+        [18, 18, 32, 32],   # best for gt1, iou < .7
+    ], jnp.float32)
+    midx3, label3 = ML.match_targets(gt, gv, anchors, 0.7, 0.3, True)
+    assert list(np.asarray(label3)) == [1, 1]
+    assert list(np.asarray(midx3)) == [0, 1]
+
+
+def test_balanced_sample_counts(rng):
+    label = jnp.asarray(
+        np.concatenate([np.ones(10), np.zeros(500), -np.ones(100)]).astype(np.int32))
+    sel_idx, sel_pos, sel_valid = ML.balanced_sample(
+        label, jax.random.PRNGKey(0), 64, 0.5)
+    n_pos = int(jnp.sum(sel_pos & sel_valid))
+    n_tot = int(jnp.sum(sel_valid))
+    assert n_pos == 10  # all positives (cap 32 > 10)
+    assert n_tot == 64
+    # sampled indices are actually pos/neg
+    lbl = np.asarray(label)[np.asarray(sel_idx)]
+    sv = np.asarray(sel_valid)
+    sp = np.asarray(sel_pos)
+    assert np.all(lbl[sv & sp] == 1)
+    assert np.all(lbl[sv & ~sp] == 0)
+
+
+def test_mask_targets_projection():
+    # gt mask = full box; roi = right half of the gt box -> all ones
+    g, r = 2, 16
+    crops = jnp.ones((g, r, r), jnp.float32)
+    gt_boxes = jnp.asarray([[0, 0, 32, 32], [50, 50, 80, 80]], jnp.float32)
+    rois = jnp.asarray([[16, 0, 32, 32], [50, 50, 65, 65]], jnp.float32)
+    gt_idx = jnp.asarray([0, 1])
+    t = ML.mask_targets_from_crops(rois, gt_idx, gt_boxes, crops, 8)
+    assert t.shape == (2, 8, 8)
+    np.testing.assert_allclose(np.asarray(t), 1.0)
+
+
+def small_cfg():
+    return M.MaskRCNNConfig(
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=64, fpn_post_nms_top_n=32,
+        detections_per_img=8, pre_final_nms_topk=128, num_classes=5)
+
+
+def test_forward_train_losses(rng):
+    cfg = small_cfg()
+    lcfg = ML.MaskRCNNLossConfig(
+        num_classes=5, rpn_batch_per_image=32, roi_batch_per_image=32,
+        gt_mask_crop=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    b, g = 2, 6
+    images = jnp.asarray(rng.standard_normal((b, 128, 192, 3)).astype(np.float32))
+    hw = jnp.asarray([[128, 192], [100, 150]], jnp.int32)
+    xy = rng.uniform(0, 80, (b, g, 2)).astype(np.float32)
+    wh = rng.uniform(20, 60, (b, g, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    classes = rng.integers(0, 4, (b, g)).astype(np.int32)
+    classes[:, 4:] = -1
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(classes),
+        "mask_crops": jnp.asarray(
+            (rng.uniform(size=(b, g, 32, 32)) > 0.5).astype(np.float32)),
+    }
+    losses = jax.jit(
+        lambda p, im, hw, t, k: M.forward_train_losses(
+            p, im, hw, t, k, cfg, lcfg)
+    )(params, images, hw, targets, jax.random.PRNGKey(1))
+    for k in ("loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+              "loss_box_reg", "loss_mask", "total"):
+        v = float(losses[k])
+        assert np.isfinite(v) and v >= 0, f"{k}={v}"
+    # gradients flow
+    grads = jax.grad(
+        lambda p: M.forward_train_losses(
+            p, images, hw, targets, jax.random.PRNGKey(1), cfg, lcfg)["total"]
+    )(params)
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(grads))
+    assert np.isfinite(gn) and gn > 0

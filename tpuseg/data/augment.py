@@ -1,0 +1,146 @@
+"""SSD-style training augmentation (Yolact.jittor utils/augmentations.py).
+
+Host-side numpy/cv2 pipeline matching SSDAugmentation's stages:
+photometric distort -> expand -> random sample crop -> random mirror ->
+resize (to the square train size) -> normalize. Operates on
+(image RGB float, boxes xyxy px, classes, masks [N,H,W]) jointly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class AugmentConfig:
+    def __init__(self, size=550, mean=(123.68, 116.78, 103.94),
+                 std=(58.40, 57.12, 57.38)):
+        self.size = size
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+
+def photometric_distort(rng, img):
+    img = img.astype(np.float32)
+    if rng.random() < 0.5:  # brightness
+        img += rng.uniform(-32, 32)
+    if rng.random() < 0.5:  # contrast
+        img *= rng.uniform(0.5, 1.5)
+    import cv2
+
+    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                       cv2.COLOR_RGB2HSV).astype(np.float32)
+    if rng.random() < 0.5:  # saturation
+        hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
+    if rng.random() < 0.5:  # hue
+        hsv[:, :, 0] = (hsv[:, :, 0] + rng.uniform(-18, 18)) % 180
+    img = cv2.cvtColor(
+        np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB
+    ).astype(np.float32)
+    return img
+
+
+def expand(rng, img, boxes, masks, mean):
+    if rng.random() < 0.5:
+        return img, boxes, masks
+    h, w, c = img.shape
+    ratio = rng.uniform(1.0, 4.0)
+    left = rng.uniform(0, w * ratio - w)
+    top = rng.uniform(0, h * ratio - h)
+    eh, ew = int(h * ratio), int(w * ratio)
+    out = np.empty((eh, ew, c), img.dtype)
+    out[:] = mean
+    t, l = int(top), int(left)
+    out[t:t + h, l:l + w] = img
+    boxes = boxes.copy()
+    boxes[:, 0::2] += l
+    boxes[:, 1::2] += t
+    if len(masks):
+        m = np.zeros((len(masks), eh, ew), masks.dtype)
+        m[:, t:t + h, l:l + w] = masks
+        masks = m
+    return out, boxes, masks
+
+
+def _iou(a, b):
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
+
+
+def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50):
+    """RandomSampleCrop: pick a min-IoU mode, try crops keeping gt centers."""
+    h, w = img.shape[:2]
+    modes = (None, 0.1, 0.3, 0.7, 0.9, -1.0)
+    mode = modes[rng.integers(len(modes))]
+    if mode is None or len(boxes) == 0:
+        return img, boxes, classes, masks
+    min_iou = mode if mode >= 0 else -np.inf
+    for _ in range(max_tries):
+        cw = rng.uniform(0.3 * w, w)
+        chh = rng.uniform(0.3 * h, h)
+        if chh / cw < 0.5 or chh / cw > 2:
+            continue
+        left = rng.uniform(0, w - cw)
+        top = rng.uniform(0, h - chh)
+        rect = np.array([left, top, left + cw, top + chh])
+        iou = _iou(boxes, rect[None])[:, 0]
+        if iou.min() < min_iou:
+            continue
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+        keep = (
+            (centers[:, 0] > rect[0]) & (centers[:, 0] < rect[2])
+            & (centers[:, 1] > rect[1]) & (centers[:, 1] < rect[3])
+        )
+        if not keep.any():
+            continue
+        l, t, r, btm = rect.astype(int)
+        img = img[t:btm, l:r]
+        boxes = boxes[keep].copy()
+        boxes[:, 0::2] = np.clip(boxes[:, 0::2] - l, 0, r - l)
+        boxes[:, 1::2] = np.clip(boxes[:, 1::2] - t, 0, btm - t)
+        classes = classes[keep]
+        if len(masks):
+            masks = masks[keep][:, t:btm, l:r]
+        return img, boxes, classes, masks
+    return img, boxes, classes, masks
+
+
+def random_mirror(rng, img, boxes, masks):
+    if rng.random() < 0.5:
+        w = img.shape[1]
+        img = img[:, ::-1]
+        boxes = boxes.copy()
+        boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+        if len(masks):
+            masks = masks[:, :, ::-1]
+    return img, boxes, masks
+
+
+def ssd_augment(rng: np.random.Generator, img_rgb_u8: np.ndarray,
+                boxes: np.ndarray, classes: np.ndarray, masks: np.ndarray,
+                cfg: AugmentConfig):
+    """Full SSDAugmentation -> (img [S,S,3] float normalized, boxes
+    normalized xyxy, classes, masks [N,S,S] u8)."""
+    import cv2
+
+    img = photometric_distort(rng, img_rgb_u8)
+    img, boxes, masks = expand(rng, img, boxes, masks, cfg.mean)
+    img, boxes, classes, masks = random_sample_crop(
+        rng, img, boxes, classes, masks)
+    img, boxes, masks = random_mirror(rng, img, boxes, masks)
+    h, w = img.shape[:2]
+    img = cv2.resize(img, (cfg.size, cfg.size), interpolation=cv2.INTER_LINEAR)
+    if len(masks):
+        masks = np.stack([
+            cv2.resize(m.astype(np.float32), (cfg.size, cfg.size),
+                       interpolation=cv2.INTER_LINEAR) > 0.5
+            for m in masks
+        ]).astype(np.uint8)
+    boxes = boxes.astype(np.float32).copy()
+    boxes[:, 0::2] /= w
+    boxes[:, 1::2] /= h
+    img = (img - cfg.mean) / cfg.std
+    return img.astype(np.float32), boxes, classes, masks

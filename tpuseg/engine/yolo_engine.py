@@ -1,0 +1,112 @@
+"""YOLOv3 predictor + COCO eval engine (yolo.jittor test.py capability)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuseg.models import yolov3 as Y
+
+
+class YoloPredictor:
+    def __init__(self, cfg: Y.YoloV3Config | None = None, params=None,
+                 weights: str | None = None, batch_size: int = 1,
+                 dtype=jnp.float32):
+        self.cfg = cfg or Y.YoloV3Config()
+        self.batch_size = batch_size
+        if params is None:
+            if weights and weights.endswith(".weights"):
+                from tpuseg.weights.darknet_io import load_yolov3_weights
+
+                params = load_yolov3_weights(
+                    weights, Y.init_params(jax.random.PRNGKey(0), self.cfg))
+            elif weights:
+                from tpuseg.engine.trainer import load_params_npz
+
+                like = Y.init_params(jax.random.PRNGKey(0), self.cfg)
+                params = load_params_npz(weights, like)
+            else:
+                params = Y.init_params(jax.random.PRNGKey(0), self.cfg)
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), params)
+        cfg_ = self.cfg
+
+        @jax.jit
+        def run(params, images_u8, hw):
+            from tpuseg.ops.preprocess import letterbox_preprocess
+
+            x = letterbox_preprocess(images_u8, hw, size=cfg_.input_size)
+            return Y.detect(params, x.astype(dtype), cfg_)
+
+        self._run = run
+
+    def run_batch(self, images_u8_padded: np.ndarray, hw: np.ndarray) -> dict:
+        out = self._run(self.params, jnp.asarray(images_u8_padded),
+                        jnp.asarray(hw, jnp.int32))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def unletterbox(self, boxes: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Map boxes from input_size letterbox coords to image px."""
+        s = self.cfg.input_size
+        scale = s / max(h, w)
+        pad_x = (s - w * scale) / 2
+        pad_y = (s - h * scale) / 2
+        out = boxes.copy()
+        out[:, 0::2] = np.clip((out[:, 0::2] - pad_x) / scale, 0, w)
+        out[:, 1::2] = np.clip((out[:, 1::2] - pad_y) / scale, 0, h)
+        return out
+
+
+def evaluate_coco_boxes(predictor: YoloPredictor, dataset, max_images=None,
+                        progress=True):
+    """COCO bbox eval via our COCOeval clone (test.py mAP parity)."""
+    from tpuseg.engine.maskrcnn_engine import COCO_CATEGORY_IDS
+    from tpuseg.eval.cocoeval import COCOeval
+
+    ids = dataset.image_ids
+    if max_images:
+        ids = ids[:max_images]
+    bs = predictor.batch_size
+    results = []
+    for start in range(0, len(ids), bs):
+        chunk = ids[start:start + bs]
+        imgs, hws = [], []
+        maxh = maxw = 0
+        for iid in chunk:
+            img = dataset.load_image(iid)
+            imgs.append(img)
+            hws.append(img.shape[:2])
+            maxh = max(maxh, img.shape[0])
+            maxw = max(maxw, img.shape[1])
+        batch = np.zeros((bs, maxh, maxw, 3), np.uint8)
+        hw = np.zeros((bs, 2), np.int32)
+        for i, img in enumerate(imgs):
+            batch[i, :img.shape[0], :img.shape[1]] = img
+            hw[i] = img.shape[:2]
+        dets = predictor.run_batch(batch, hw)
+        for i, iid in enumerate(chunk):
+            valid = dets["valid"][i]
+            boxes = predictor.unletterbox(
+                dets["boxes"][i][valid], *hws[i])
+            scores = dets["scores"][i][valid]
+            classes = dets["classes"][i][valid]
+            for j in range(len(scores)):
+                x1, y1, x2, y2 = boxes[j]
+                results.append({
+                    "image_id": int(iid),
+                    "category_id": COCO_CATEGORY_IDS[int(classes[j])],
+                    "bbox": [float(x1), float(y1), float(x2 - x1),
+                             float(y2 - y1)],
+                    "score": float(scores[j]),
+                })
+        if progress:
+            print(f"\r{min(start + bs, len(ids))}/{len(ids)}", end="",
+                  flush=True)
+    if progress:
+        print()
+    E = COCOeval(dataset.coco, dataset.coco.loadRes(results), "bbox")
+    E.evaluate()
+    E.accumulate()
+    E.summarize()
+    return E.stats

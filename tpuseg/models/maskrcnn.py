@@ -360,6 +360,91 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Training forward (GeneralizedRCNN.forward with targets; engine/trainer.py)
+# ---------------------------------------------------------------------------
+
+
+def forward_train_losses(
+    params: dict,
+    images: jax.Array,  # [B, Hc, Wc, 3] preprocessed canvas
+    image_hw: jax.Array,  # [B, 2]
+    targets: dict,  # boxes [B,G,4], classes [B,G] (0-based, -1 pad),
+    #                 mask_crops [B,G,R,R] float
+    key: jax.Array,
+    cfg: MaskRCNNConfig,
+    loss_cfg=None,
+):
+    """One training forward -> dict of the reference's five losses."""
+    from tpuseg.models import maskrcnn_loss as ML
+
+    if loss_cfg is None:
+        loss_cfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes)
+    b, ch, cw, _ = images.shape
+    pyramid = backbone_fpn(params, images, cfg)
+    na = len(cfg.anchor_ratios)
+    logits, deltas = rpn_head(params["rpn"], pyramid, na)
+    anchors_l = [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)]
+    anchors = jnp.concatenate(anchors_l, axis=0)
+    all_logits = jnp.concatenate(
+        [l.astype(jnp.float32) for l in logits], axis=1)
+    all_deltas = jnp.concatenate(
+        [d.astype(jnp.float32) for d in deltas], axis=1)
+
+    gt_boxes = targets["boxes"]
+    gt_classes = targets["classes"]
+    gt_valid = gt_classes >= 0
+
+    k_rpn, k_roi = jax.random.split(key)
+    losses = ML.rpn_loss(
+        all_logits, all_deltas, anchors, gt_boxes, gt_valid, k_rpn, loss_cfg)
+
+    # proposals (train-time top-n settings = test settings here; the
+    # reference's 2000-proposal train mode is a config knob)
+    proposals, p_scores, p_valid = rpn_proposals(
+        logits, deltas, anchors_l, image_hw, cfg, (ch, cw))
+    proposals = jax.lax.stop_gradient(proposals)
+
+    keys = jax.random.split(k_roi, b)
+    sample = jax.vmap(
+        lambda p_, pv, gb, gc, gv, k: ML.sample_proposals(
+            p_, pv, gb, gc, gv, k, loss_cfg)
+    )(proposals, p_valid, gt_boxes, gt_classes, gt_valid, keys)
+
+    s = sample["boxes"].shape[1]
+    flat_boxes = sample["boxes"].reshape(b * s, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), s)
+    pooled = pooled_roi_features(
+        pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
+        cfg.pooler_sampling_ratio)
+    cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
+    flat_sample = {k_: v.reshape((b * s,) + v.shape[2:])
+                   for k_, v in sample.items()}
+    losses.update(ML.box_head_loss(
+        cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32),
+        flat_sample, loss_cfg))
+
+    # mask head on the sampled rois
+    mask_pooled = pooled_roi_features(
+        pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
+        cfg.pooler_sampling_ratio)
+    mask_logits = mask_head(params["mask_head"], mask_pooled)
+
+    def per_image_targets(rois, gt_idx, gb, crops):
+        return ML.mask_targets_from_crops(
+            rois, gt_idx, gb, crops, cfg.mask_out)
+
+    t28 = jax.vmap(per_image_targets)(
+        sample["boxes"], sample["gt_idx"], gt_boxes, targets["mask_crops"])
+    losses.update(ML.mask_head_loss(
+        mask_logits.astype(jnp.float32).reshape(
+            b * s, cfg.mask_out, cfg.mask_out, cfg.num_classes),
+        flat_sample, gt_classes, t28.reshape(b * s, cfg.mask_out, cfg.mask_out),
+        loss_cfg))
+    losses["total"] = sum(losses.values())
+    return losses
+
+
+# ---------------------------------------------------------------------------
 # Init (shape-compatible with converted detectron weights)
 # ---------------------------------------------------------------------------
 
