@@ -104,7 +104,8 @@ def resize_to_square(img_rgb: np.ndarray, size: int) -> np.ndarray:
 
 
 def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
-                     score_threshold: float = 0.0, progress=True):
+                     score_threshold: float = 0.0, progress=True,
+                     use_native_loader: bool = True):
     """Full-val mAP table (eval.py no-image-args mode). Returns all_maps."""
     from tpuseg.eval.yolact_map import calc_map, make_ap_data, prep_metrics, print_maps
 
@@ -116,15 +117,26 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
     ap_data = make_ap_data(cfg.num_classes - 1)
     t_infer = 0.0
     n_done = 0
+    loader = None
+    if use_native_loader:
+        from tpuseg.data.native_loader import NativeImageLoader
+
+        loader = NativeImageLoader()
     for start in range(0, len(ids), bs):
         chunk = ids[start:start + bs]
-        imgs = []
-        metas = []
-        for iid in chunk:
-            img = dataset.load_image(iid)
-            metas.append((iid, img.shape[0], img.shape[1]))
-            imgs.append(resize_to_square(img, cfg.img_size))
-        batch = np.stack(imgs)
+        if loader is not None:
+            paths = [dataset.image_path(iid) for iid in chunk]
+            batch, hw = loader.load_batch(paths, cfg.img_size, cfg.img_size)
+            metas = [(iid, int(hw[i, 0]), int(hw[i, 1]))
+                     for i, iid in enumerate(chunk)]
+        else:
+            imgs = []
+            metas = []
+            for iid in chunk:
+                img = dataset.load_image(iid)
+                metas.append((iid, img.shape[0], img.shape[1]))
+                imgs.append(resize_to_square(img, cfg.img_size))
+            batch = np.stack(imgs)
         if len(chunk) < bs:
             batch = np.pad(batch, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
         t0 = time.perf_counter()
