@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Pose2Seg training (Pose2Seg.jittor train.py parity — no-flag CLI with
+dataset paths resolved from the catalog; README.md:189-193)."""
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--images", default="./data/coco2017/train2017")
+    ap.add_argument("--annotations",
+                    default="./data/coco2017/annotations/"
+                            "person_keypoints_train2017_pose2seg.json")
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--save", default="weights/pose2seg_last.npz")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuseg.data.coco_dataset import CocoDetectionDataset
+    from tpuseg.engine.trainer import save_params_npz
+    from tpuseg.models import pose2seg as P2S
+    from tpuseg.models.pose2seg_loss import Pose2SegTrainer, warp_gt_to_aligned
+
+    cfg = P2S.Pose2SegConfig()
+    dataset = CocoDetectionDataset(args.images, args.annotations,
+                                   label_map=None)
+    params = P2S.init_params(jax.random.PRNGKey(0), cfg)
+    trainer = Pose2SegTrainer(cfg)
+    buf = trainer.init_state(params)
+    rng = np.random.default_rng(0)
+    ids = list(dataset.image_ids)
+    import cv2
+
+    s = cfg.input_size
+    it = 0
+    while it < args.steps:
+        rng.shuffle(ids)
+        for iid in ids:
+            anns = dataset.coco.imgToAnns[iid]
+            kpts = [np.asarray(a["keypoints"], np.float64).reshape(-1, 3)
+                    for a in anns if a.get("keypoints") is not None]
+            kpts = [k for k in kpts if (k[:, 2] > 0).sum() >= 2]
+            if not kpts:
+                continue
+            img = dataset.load_image(iid)
+            gt = dataset.load_target(iid)
+            h, w = img.shape[:2]
+            scale = s / max(h, w)
+            nh, nw = int(h * scale), int(w * scale)
+            canvas = np.zeros((s, s, 3), np.float32)
+            canvas[:nh, :nw] = cv2.resize(img, (nw, nh))
+            canvas = (canvas / 255.0 - [0.485, 0.456, 0.406]) / [0.229, 0.224, 0.225]
+            p = cfg.max_people
+            theta = np.zeros((1, p, 2, 3), np.float32)
+            valid = np.zeros((1, p), bool)
+            gt_masks = np.zeros((1, p, s, s), np.float32)
+            for i, kp in enumerate(kpts[:p]):
+                kp = kp.copy()
+                kp[:, :2] *= scale
+                A, res = P2S.best_template_affine(kp, cfg)
+                if A is None:
+                    continue
+                theta[0, i] = P2S.affine_to_theta(A, s, s)
+                valid[0, i] = True
+                if i < len(gt["masks"]):
+                    m = cv2.resize(gt["masks"][i].astype(np.float32),
+                                   (nw, nh))
+                    gt_masks[0, i, :nh, :nw] = m > 0.5
+            if not valid.any():
+                continue
+            gt_aligned = warp_gt_to_aligned(
+                jnp.asarray(gt_masks), jnp.asarray(theta), cfg.align_size)
+            gt_aligned = (np.asarray(gt_aligned) > 0.5).astype(np.float32)
+            params, buf, loss = trainer.train_step(
+                params, buf, jnp.asarray(canvas, jnp.float32)[None],
+                jnp.asarray(theta), jnp.asarray(valid),
+                jnp.asarray(gt_aligned), it)
+            it += 1
+            if it % 20 == 0:
+                print(f"iter {it}: loss {float(loss):.4f}")
+            if it >= args.steps:
+                break
+    save_params_npz(args.save, jax.device_get(params))
+    print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Mask R-CNN training (detectron.jittor tools/train_net.py parity).
+
+Usage (README.md:337-341):
+    python tools/train_net.py --config-file configs/e2e_mask_rcnn_R_50_FPN_1x.yaml \
+        [SOLVER.IMS_PER_BATCH 8] [DATASETS.IMAGES dir DATASETS.ANNOTATIONS json]
+"""
+import argparse
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config-file", default=None)
+    ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("opts", nargs=argparse.REMAINDER)
+    args = ap.parse_args()
+
+    from tpuseg.data.coco_dataset import CocoDetectionDataset
+    from tpuseg.engine.config import ConfigNode
+    from tpuseg.engine.detectron_train_loop import do_train
+    from tpuseg.models.maskrcnn import MaskRCNNConfig
+
+    cfg = ConfigNode({
+        "MODEL": {"WEIGHT": "", "MASK_ON": True},
+        "SOLVER": {"BASE_LR": 0.0025, "WEIGHT_DECAY": 0.0001,
+                   "STEPS": [120000, 160000], "MAX_ITER": 180000,
+                   "IMS_PER_BATCH": 2, "CHECKPOINT_PERIOD": 2500},
+        "DATASETS": {"TRAIN": "coco_2017_train", "IMAGES": "",
+                     "ANNOTATIONS": ""},
+        "OUTPUT_DIR": "weights/detectron",
+    })
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    if cfg.DATASETS.IMAGES:
+        images, ann = cfg.DATASETS.IMAGES, cfg.DATASETS.ANNOTATIONS
+    else:
+        from tpuseg.data.catalog import DatasetCatalog
+
+        d = DatasetCatalog.get(cfg.DATASETS.TRAIN)["args"]
+        images, ann = d["root"], d["ann_file"]
+    dataset = CocoDetectionDataset(images, ann, label_map=None)
+    print(f"training on {len(dataset)} images; "
+          f"max_iter {cfg.SOLVER.MAX_ITER}")
+    mcfg = MaskRCNNConfig()
+    params = None
+    if cfg.MODEL.WEIGHT:
+        from tpuseg.engine.maskrcnn_engine import load_detectron_weights
+
+        params = load_detectron_weights(cfg.MODEL.WEIGHT, mcfg)
+        import jax.numpy as jnp
+        import jax
+
+        params = jax.tree.map(jnp.asarray, params)
+    do_train(dataset, mcfg, params=params,
+             base_lr=cfg.SOLVER.BASE_LR, steps=tuple(cfg.SOLVER.STEPS),
+             max_iter=cfg.SOLVER.MAX_ITER,
+             ims_per_batch=cfg.SOLVER.IMS_PER_BATCH,
+             checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD,
+             output_dir=cfg.OUTPUT_DIR, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -413,9 +413,11 @@ def forward_train_losses(
     s = sample["boxes"].shape[1]
     flat_boxes = sample["boxes"].reshape(b * s, 4)
     flat_bidx = jnp.repeat(jnp.arange(b), s)
+    # training differentiates through the pooler: use the jnp gather path
+    # (the Pallas kernel is forward-only until its custom VJP lands)
     pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
-        cfg.pooler_sampling_ratio)
+        cfg.pooler_sampling_ratio, use_pallas=False)
     cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
     flat_sample = {k_: v.reshape((b * s,) + v.shape[2:])
                    for k_, v in sample.items()}
@@ -426,7 +428,7 @@ def forward_train_losses(
     # mask head on the sampled rois
     mask_pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
-        cfg.pooler_sampling_ratio)
+        cfg.pooler_sampling_ratio, use_pallas=False)
     mask_logits = mask_head(params["mask_head"], mask_pooled)
 
     def per_image_targets(rois, gt_idx, gb, crops):
