@@ -145,3 +145,30 @@ def test_weight_mapping_shapes():
     got_keys = {jax.tree_util.keystr(p) for p, _ in flat_got}
     missing = set(flat_want) - got_keys
     assert not missing, f"unmapped leaves: {missing}"
+
+
+def test_yolact_plus_pipeline():
+    """YOLACT++ variant: 9 anchors/position, DCN backbone, maskiou rescoring."""
+    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.engine.config import get_config
+
+    preset = get_config("yolact_plus_base_config")
+    full = yolact_model_config(preset)
+    assert full.num_anchors == 9
+    assert not full.use_square_anchors
+    # tiny version for the smoke forward
+    cfg = Y.YolactConfig(
+        img_size=128, num_classes=5, nms_top_k=8, max_num_detections=5,
+        scales=tuple(tuple(s * x / 550 for x in (1, 1.26, 1.587))
+                     for s in (24, 48, 96, 192, 384)),
+        use_square_anchors=False, dcn_backbone=True, use_maskiou=True)
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    assert params["backbone"]["layer2"][0]["conv2_offset"] is not None
+    assert params["backbone"]["layer1"][0]["conv2_offset"] is None
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    s = Y.level_sizes(cfg)
+    assert priors.shape[0] == 9 * sum(x * x for x in s)
+    imgs = jnp.zeros((1, 128, 128, 3), jnp.uint8)
+    dets = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))(params, imgs)
+    assert "mask_scores" in dets
+    assert dets["mask_scores"].shape == (1, 5)

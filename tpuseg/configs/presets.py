@@ -83,11 +83,42 @@ yolact_im700_config = register_config(
     yolact_base_config.copy({"name": "yolact_im700", "max_size": 700}),
 )
 
+# YOLACT++ (README.md:216-221 weight table): DCNv2 backbone (interval 3),
+# 3 sub-scales per level, non-square anchors, mask rescoring
+_PLUS_SCALES = [
+    [s * 2 ** (j / 3.0) for j in range(3)] for s in (24, 48, 96, 192, 384)
+]
+
+yolact_plus_base_config = register_config(
+    "yolact_plus_base_config",
+    yolact_base_config.copy(
+        {
+            "name": "yolact_plus_base",
+            "backbone": "resnet101",
+            "use_square_anchors": False,
+            "scales": _PLUS_SCALES,
+            "dcn_backbone": True,
+            "use_maskiou": True,
+        }
+    ),
+)
+
+yolact_plus_resnet50_config = register_config(
+    "yolact_plus_resnet50_config",
+    yolact_plus_base_config.copy(
+        {"name": "yolact_plus_resnet50", "backbone": "resnet50",
+         "dcn_backbone": False}  # dbolya's r50++ keeps a plain backbone
+    ),
+)
+
 
 def yolact_model_config(cfg):
     """ConfigNode preset -> models.yolact.YolactConfig."""
     from tpuseg.models.yolact import YolactConfig
 
+    scales = cfg.get("scales", (24, 48, 96, 192, 384))
+    if isinstance(scales, list):
+        scales = tuple(tuple(s) if isinstance(s, list) else s for s in scales)
     return YolactConfig(
         backbone=cfg.backbone,
         img_size=cfg.max_size,
@@ -98,6 +129,10 @@ def yolact_model_config(cfg):
         nms_iou_thresh=cfg.nms_thresh,
         nms_top_k=cfg.nms_top_k,
         max_num_detections=cfg.max_num_detections,
+        scales=scales,
+        use_square_anchors=cfg.get("use_square_anchors", True),
+        dcn_backbone=cfg.get("dcn_backbone", False),
+        use_maskiou=cfg.get("use_maskiou", False),
     )
 
 

@@ -48,8 +48,9 @@ class YolactPredictor:
             x = yolact_preprocess(images_u8, size=cfg_.img_size).astype(dtype)
             preds = yolact_model.forward(params, x, cfg_)
             preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
-            return yolact_model.detect(preds, jnp.asarray(
-                yolact_model.make_priors_np(cfg_)), cfg_)
+            return yolact_model.detect(
+                preds, jnp.asarray(yolact_model.make_priors_np(cfg_)), cfg_,
+                params_miou=params.get("maskiou"))
 
         self._run = _run
 

@@ -45,6 +45,8 @@ class YolactConfig:
     mask_dim: int = 32
     fpn_channels: int = 256
     aspect_ratios: tuple = (1.0, 0.5, 2.0)
+    # per-level anchor scales: scalar per level (yolact) or tuple per level
+    # (yolact++ uses 3 sub-scales i * 2^(j/3))
     scales: tuple = (24, 48, 96, 192, 384)
     use_square_anchors: bool = True
     conf_thresh: float = 0.05
@@ -52,10 +54,17 @@ class YolactConfig:
     nms_top_k: int = 200
     max_num_detections: int = 100
     variances: tuple = (0.1, 0.2)
+    # YOLACT++ extras
+    dcn_backbone: bool = False  # DCNv2 in stages 1-3, every 3rd block
+    use_maskiou: bool = False  # FastMaskIoUNet mask rescoring
+
+    def level_scales(self, li: int) -> tuple:
+        s = self.scales[li]
+        return tuple(s) if isinstance(s, (tuple, list)) else (s,)
 
     @property
     def num_anchors(self):
-        return len(self.aspect_ratios)
+        return len(self.aspect_ratios) * len(self.level_scales(0))
 
     @property
     def proto_size(self):
@@ -83,20 +92,26 @@ def level_sizes(cfg: YolactConfig):
 
 @functools.lru_cache(maxsize=8)
 def make_priors_np(cfg: YolactConfig) -> np.ndarray:
-    """Priors [N, 4] (cx, cy, w, h) normalized — yolact.py make_priors."""
+    """Priors [N, 4] (cx, cy, w, h) normalized — yolact.py make_priors.
+
+    Loop order matches the reference (ars outer, scales inner per position);
+    yolact++ passes 3 sub-scales per level (i * 2^(j/3)).
+    """
     priors = []
-    for (size_hw, scale) in zip(level_sizes(cfg), cfg.scales):
+    for li, size_hw in enumerate(level_sizes(cfg)):
+        scales = cfg.level_scales(li)
         for j in range(size_hw):
             for i in range(size_hw):
                 cx = (i + 0.5) / size_hw
                 cy = (j + 0.5) / size_hw
                 for ar in cfg.aspect_ratios:
-                    ar_s = math.sqrt(ar)
-                    w = scale * ar_s / cfg.img_size
-                    h = scale / ar_s / cfg.img_size
-                    if cfg.use_square_anchors:
-                        h = w
-                    priors.append([cx, cy, w, h])
+                    for scale in scales:
+                        ar_s = math.sqrt(ar)
+                        w = scale * ar_s / cfg.img_size
+                        h = scale / ar_s / cfg.img_size
+                        if cfg.use_square_anchors:
+                            h = w
+                        priors.append([cx, cy, w, h])
     return np.asarray(priors, np.float32)
 
 
@@ -137,12 +152,31 @@ def _prediction_head(params: dict, x: jax.Array, cfg: YolactConfig):
     return loc, conf, coeff
 
 
+def _resnet_cfg(cfg: YolactConfig) -> resnet_nn.ResNetConfig:
+    depth = int(cfg.backbone[6:])
+    dcn = (1, 2, 3) if cfg.dcn_backbone else ()
+    return resnet_nn.ResNetConfig(
+        depth=depth, stride_in_1x1=False, frozen_bn=False,
+        dcn_stages=dcn, dcn_interval=3)
+
+
 def backbone_forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
     if cfg.backbone.startswith("resnet"):
-        depth = int(cfg.backbone[6:])
-        rcfg = resnet_nn.ResNetConfig(depth=depth, stride_in_1x1=False, frozen_bn=False)
-        return resnet_nn.forward(params["backbone"], images, rcfg)
+        return resnet_nn.forward(params["backbone"], images, _resnet_cfg(cfg))
     return darknet_nn.forward(params["backbone"], images)
+
+
+def maskiou_net(params: dict, masks: jax.Array, cfg: YolactConfig) -> jax.Array:
+    """FastMaskIoUNet (YOLACT++): [N, S, S] masks -> [N, num_classes-1] iou.
+
+    Conv stack (8,16,32,64,128 stride 2) + global max pool + 1x1 to classes
+    (yolact.py maskiou_net spec)."""
+    x = masks[..., None]
+    for i, ch in enumerate((8, 16, 32, 64, 128)):
+        x = L.relu(L.conv2d(x, params[f"conv{i}"], stride=2, padding=1))
+    x = jnp.max(x, axis=(1, 2))  # global max pool
+    return jax.nn.sigmoid(
+        jnp.dot(x, params["fc"]["weight"]) + params["fc"]["bias"])
 
 
 def forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
@@ -169,14 +203,16 @@ def forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def detect(preds: dict, priors: jax.Array, cfg: YolactConfig) -> dict:
+def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
+           params_miou: dict | None = None) -> dict:
     """Raw predictions -> padded detections with assembled cropped masks.
 
     Per image: decode loc vs priors (SSD variances), softmax conf minus
     background, Fast-NMS per class at top_k, global top max_num_detections,
     mask = crop(sigmoid(proto @ coeff), box) at proto resolution.
     Returns dict with boxes (normalized xyxy), scores, classes (0-based,
-    no background), masks [B, max_det, S, S], valid.
+    no background), masks [B, max_det, S, S], valid. With
+    cfg.use_maskiou + params_miou, adds rescored 'mask_scores' (YOLACT++).
     """
 
     def per_image(loc, conf, coeff, proto):
@@ -200,13 +236,20 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig) -> dict:
         m = jnp.einsum("hwk,nk->hwn", proto, out_coeff)
         m = jax.nn.sigmoid(m)
         m = _crop_masks(m, out_boxes)
-        return {
+        masks_out = jnp.transpose(m, (2, 0, 1))
+        out = {
             "boxes": out_boxes,
             "scores": jnp.where(valid, top_s, 0.0),
             "classes": out_classes,
-            "masks": jnp.transpose(m, (2, 0, 1)),
+            "masks": masks_out,
             "valid": valid,
         }
+        if cfg.use_maskiou and params_miou is not None:
+            iou = maskiou_net(params_miou, masks_out, cfg)  # [K, C-1]
+            cls_iou = jnp.take_along_axis(
+                iou, out_classes[:, None], axis=1)[:, 0]
+            out["mask_scores"] = out["scores"] * cls_iou
+        return out
 
     return jax.vmap(per_image)(
         preds["loc"], preds["conf"], preds["coeff"], preds["proto"]
@@ -268,7 +311,7 @@ def full_pipeline(params: dict, priors: jax.Array, images_u8: jax.Array,
 
     x = yolact_preprocess(images_u8, size=cfg.img_size)
     preds = forward(params, x, cfg)
-    return detect(preds, priors, cfg)
+    return detect(preds, priors, cfg, params_miou=params.get("maskiou"))
 
 
 # ---------------------------------------------------------------------------
@@ -281,14 +324,23 @@ def init_params(key: jax.Array, cfg: YolactConfig, dtype=jnp.float32) -> dict:
     fc = cfg.fpn_channels
     na = cfg.num_anchors
     if cfg.backbone.startswith("resnet"):
-        depth = int(cfg.backbone[6:])
-        rcfg = resnet_nn.ResNetConfig(depth=depth, stride_in_1x1=False, frozen_bn=False)
-        backbone = resnet_nn.init_params(next(keys), rcfg, dtype)
+        backbone = resnet_nn.init_params(next(keys), _resnet_cfg(cfg), dtype)
         in_ch = (512, 1024, 2048)
     else:
         backbone = darknet_nn.init_params(next(keys), dtype=dtype)
         in_ch = (256, 512, 1024)
+    maskiou = None
+    if cfg.use_maskiou:
+        chans = (1, 8, 16, 32, 64, 128)
+        maskiou = {
+            f"conv{i}": L.conv_params(next(keys), 3, 3, chans[i],
+                                      chans[i + 1], dtype=dtype)
+            for i in range(5)
+        }
+        maskiou["fc"] = L.linear_params(
+            next(keys), 128, cfg.num_classes - 1, dtype=dtype)
     return {
+        **({"maskiou": maskiou} if maskiou is not None else {}),
         "backbone": backbone,
         "fpn": fpn_nn.yolact_fpn_init(next(keys), in_ch, fc, dtype),
         "proto": {

@@ -34,10 +34,17 @@ class ResNetConfig:
     dilation_c5: int = 1  # 2 => C5 at stride 16 (Pose2Seg dilated variant)
     width: int = 64
     bn_eps: float = 1e-5  # torchvision BN eps; detectron frozen-BN uses 0
+    # YOLACT++ DCNv2: stages (0-based) whose blocks use deformable conv2,
+    # every `dcn_interval`-th block (dbolya resnet101_dcn_inter3_backbone)
+    dcn_stages: tuple = ()
+    dcn_interval: int = 1
 
     @property
     def stage_blocks(self):
         return STAGE_BLOCKS[self.depth]
+
+    def block_uses_dcn(self, stage: int, block: int) -> bool:
+        return stage in self.dcn_stages and block % self.dcn_interval == 0
 
 
 def _norm(x, p, cfg: ResNetConfig):
@@ -51,7 +58,17 @@ def bottleneck(x: jax.Array, p: dict, stride: int, dilation: int, cfg: ResNetCon
     s1, s2 = (stride, 1) if cfg.stride_in_1x1 else (1, stride)
     out = L.conv2d(x, p["conv1"], stride=s1)
     out = L.relu(_norm(out, p["bn1"], cfg))
-    out = L.conv2d(out, p["conv2"], stride=s2, padding=dilation, dilation=dilation)
+    if p.get("conv2_offset") is not None:
+        from tpuseg.ops.deform_conv import dcn_block
+
+        out = dcn_block(
+            out,
+            {"offset": p["conv2_offset"], "weight": p["conv2"]["weight"],
+             "bias": p["conv2"].get("bias")},
+            stride=s2, dilation=dilation)
+    else:
+        out = L.conv2d(out, p["conv2"], stride=s2, padding=dilation,
+                       dilation=dilation)
     out = L.relu(_norm(out, p["bn2"], cfg))
     out = L.conv2d(out, p["conv3"])
     out = _norm(out, p["bn3"], cfg)
@@ -84,7 +101,7 @@ def init_params(key: jax.Array, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
     w = cfg.width
     keys = iter(jax.random.split(key, 256))
 
-    def block_params(cin, mid, cout, downsample):
+    def block_params(cin, mid, cout, downsample, use_dcn=False):
         p = {
             "conv1": L.conv_params(next(keys), 1, 1, cin, mid, bias=False, dtype=dtype),
             "bn1": L.bn_params(mid, dtype),
@@ -93,7 +110,14 @@ def init_params(key: jax.Array, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
             "conv3": L.conv_params(next(keys), 1, 1, mid, cout, bias=False, dtype=dtype),
             "bn3": L.bn_params(cout, dtype),
             "downsample": None,
+            "conv2_offset": None,
         }
+        if use_dcn:
+            # offset conv is zero-initialized in the reference (identity DCN)
+            p["conv2_offset"] = {
+                "weight": jnp.zeros((3, 3, mid, 27), dtype),
+                "bias": jnp.zeros((27,), dtype),
+            }
         if downsample:
             p["downsample"] = {
                 "conv": L.conv_params(next(keys), 1, 1, cin, cout, bias=False, dtype=dtype),
@@ -113,7 +137,9 @@ def init_params(key: jax.Array, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
         cout = mid * 4
         blocks = []
         for bi in range(nblocks):
-            blocks.append(block_params(cin if bi == 0 else cout, mid, cout, bi == 0))
+            blocks.append(block_params(
+                cin if bi == 0 else cout, mid, cout, bi == 0,
+                use_dcn=cfg.block_uses_dcn(si, bi)))
         params[f"layer{si + 1}"] = blocks
         cin = cout
     return params
@@ -172,7 +198,16 @@ def from_torch_state(flat: dict, cfg: ResNetConfig, prefix: str = "") -> dict:
                 "conv3": conv(f"{base}.conv3"),
                 "bn3": bn(f"{base}.bn3"),
                 "downsample": None,
+                "conv2_offset": None,
             }
+            # DCNv2 blocks (yolact++): offset conv saved as conv2.conv_offset_mask
+            for off_name in (f"{base}.conv2.conv_offset_mask",
+                             f"{base}.conv2_offset"):
+                if f"{prefix}{off_name}.weight" in flat:
+                    p["conv2_offset"] = conv(off_name)
+                    if f"{prefix}{base}.conv2.weight" not in flat:
+                        p["conv2"] = conv(f"{base}.conv2.conv")
+                    break
             if f"{prefix}{base}.downsample.0.weight" in flat:
                 p["downsample"] = {
                     "conv": conv(f"{base}.downsample.0"),

@@ -31,8 +31,9 @@ def _conv(flat: dict, name: str) -> dict:
 
 def from_torch_state(flat: dict, cfg: YolactConfig) -> dict:
     if cfg.backbone.startswith("resnet"):
-        depth = int(cfg.backbone[6:])
-        rcfg = resnet_nn.ResNetConfig(depth=depth, stride_in_1x1=False, frozen_bn=False)
+        from tpuseg.models.yolact import _resnet_cfg
+
+        rcfg = _resnet_cfg(cfg)
         # remap dbolya names -> torchvision names, then reuse the resnet loader
         remapped = {}
         for k, v in flat.items():
@@ -76,6 +77,20 @@ def from_torch_state(flat: dict, cfg: YolactConfig) -> dict:
     }
     if "semantic_seg_conv.weight" in flat:
         out["semantic"] = _conv(flat, "semantic_seg_conv")
+    # YOLACT++ FastMaskIoUNet: Sequential conv indices 0,2,4,6,8 + final 1x1
+    for prefix in ("maskiou_net.maskiou_net.", "maskiou_net."):
+        if f"{prefix}0.weight" in flat:
+            miou = {
+                f"conv{i}": _conv(flat, f"{prefix}{2 * i}")
+                for i in range(5)
+            }
+            last = _conv(flat, f"{prefix}10")  # 1x1 conv to classes
+            miou["fc"] = {
+                "weight": last["weight"].reshape(last["weight"].shape[2], -1),
+                "bias": last["bias"],
+            }
+            out["maskiou"] = miou
+            break
     return out
 
 
