@@ -198,3 +198,82 @@ def test_weight_mapping_shapes():
     want = {jax.tree_util.keystr(k): v.shape
             for k, v in jax.tree_util.tree_leaves_with_path(init)}
     assert got == want
+
+
+def test_c4_forward_inference_shapes():
+    from tpuseg.models import maskrcnn_c4 as C4
+
+    cfg = C4.MaskRCNNC4Config(
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=32, detections_per_img=8,
+        pre_final_nms_topk=64, num_classes=5)
+    params = C4.init_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.zeros((1, 128, 192, 3))
+    hw = jnp.asarray([[100, 150]], jnp.int32)
+    out = jax.jit(lambda p, im, hw: C4.forward_inference(p, im, hw, cfg))(
+        params, images, hw)
+    assert out["boxes"].shape == (1, 8, 4)
+    assert out["masks"].shape == (1, 8, 14, 14)
+    anchors = C4.make_anchors_np(cfg, 128, 192)
+    assert anchors.shape[0] == (128 // 16) * (192 // 16) * 15
+
+
+def test_c4_weight_mapping_shapes():
+    from tpuseg.models import maskrcnn_c4 as C4
+
+    cfg = C4.MaskRCNNC4Config()
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cout, cin, k, bias=True):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    def bn(name, c):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{name}.{suf}"] = rng.standard_normal(c).astype(np.float32)
+
+    def lin(name, cout, cin):
+        sd[f"{name}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    def stage(prefix, nb, cin, mid):
+        cout = mid * 4
+        for bi in range(nb):
+            base = f"{prefix}.{bi}"
+            conv(f"{base}.conv1", mid, cin if bi == 0 else cout, 1, bias=False)
+            bn(f"{base}.bn1", mid)
+            conv(f"{base}.conv2", mid, mid, 3, bias=False)
+            bn(f"{base}.bn2", mid)
+            conv(f"{base}.conv3", cout, mid, 1, bias=False)
+            bn(f"{base}.bn3", cout)
+            if bi == 0:
+                conv(f"{base}.downsample.0", cout, cin, 1, bias=False)
+                bn(f"{base}.downsample.1", cout)
+        return cout
+
+    conv("backbone.body.stem.conv1", 64, 3, 7, bias=False)
+    bn("backbone.body.stem.bn1", 64)
+    cin = 64
+    for si, nb in enumerate((3, 4, 6)):
+        cin = stage(f"backbone.body.layer{si+1}", nb, cin, 64 * 2**si)
+    stage("roi_heads.box.feature_extractor.head.layer4", 3, 1024, 512)
+    conv("rpn.head.conv", 1024, 1024, 3)
+    conv("rpn.head.cls_logits", 15, 1024, 1)
+    conv("rpn.head.bbox_pred", 60, 1024, 1)
+    lin("roi_heads.box.predictor.cls_score", 81, 2048)
+    lin("roi_heads.box.predictor.bbox_pred", 324, 2048)
+    sd["roi_heads.mask.predictor.conv5_mask.weight"] = rng.standard_normal(
+        (2048, 256, 2, 2)).astype(np.float32)
+    sd["roi_heads.mask.predictor.conv5_mask.bias"] = rng.standard_normal(
+        256).astype(np.float32)
+    conv("roi_heads.mask.predictor.mask_fcn_logits", 81, 256, 1)
+
+    tree = C4.from_torch_state(sd, cfg)
+    init = C4.init_params(jax.random.PRNGKey(0), cfg)
+    got = {jax.tree_util.keystr(k): v.shape
+           for k, v in jax.tree_util.tree_leaves_with_path(tree)}
+    want = {jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(init)}
+    assert got == want

@@ -1,0 +1,268 @@
+"""Mask R-CNN R-50-C4 variant (the config the reference demos first:
+``e2e_mask_rcnn_R_50_C4_1x.yaml``, README.md:263-284 — PRE_NMS_TOP_N_TEST
+6000 / POST_NMS_TOP_N_TEST 1000 are exactly its quoted values).
+
+Architecture (maskrcnn-benchmark C4 path): ResNet stem+layer1-3 -> C4
+(stride 16, 1024ch) -> single-level RPN with 15 anchors/cell (5 sizes x 3
+ratios) -> RoIAlign 14x14 -> res5 (layer4) as the box feature extractor ->
+global avgpool -> 81-way cls + class-specific regression; the mask head
+re-runs res5 on the kept detections and predicts 14x14 masks via
+deconv(2048->256) + 1x1 conv (MaskRCNNC4Predictor).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.core import boxes as box_ops
+from tpuseg.models import maskrcnn as M
+from tpuseg.nn import layers as L
+from tpuseg.nn import resnet as resnet_nn
+from tpuseg.ops import nms as nms_ops
+from tpuseg.ops import sampling
+
+
+@dataclass(frozen=True)
+class MaskRCNNC4Config:
+    depth: int = 50
+    anchor_sizes: tuple = (32, 64, 128, 256, 512)
+    anchor_ratios: tuple = (0.5, 1.0, 2.0)
+    anchor_stride: int = 16
+    rpn_pre_nms_top_n: int = 6000  # README.md:267
+    rpn_post_nms_top_n: int = 1000  # README.md:268
+    rpn_nms_thresh: float = 0.7
+    num_classes: int = 81
+    pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 2
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    pre_final_nms_topk: int = 2048
+    mask_out: int = 14
+
+
+@functools.lru_cache(maxsize=8)
+def make_anchors_np(cfg: MaskRCNNC4Config, canvas_h: int, canvas_w: int):
+    cells = [
+        M._generate_cell_anchors(s, cfg.anchor_ratios, base=cfg.anchor_stride)
+        for s in cfg.anchor_sizes
+    ]
+    cell = np.concatenate(cells, axis=0)  # [15, 4]
+    hl, wl = M.fpn_level_hw(canvas_h, canvas_w, cfg.anchor_stride)
+    sx = np.arange(wl) * cfg.anchor_stride
+    sy = np.arange(hl) * cfg.anchor_stride
+    shift_x, shift_y = np.meshgrid(sx, sy)
+    shifts = np.stack(
+        [shift_x.ravel(), shift_y.ravel(), shift_x.ravel(), shift_y.ravel()], 1)
+    return (shifts[:, None, :] + cell[None, :, :]).reshape(-1, 4).astype(
+        np.float32)
+
+
+def backbone_c4(params: dict, images: jax.Array, cfg: MaskRCNNC4Config):
+    rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
+                                  frozen_bn=True)
+    x = L.conv2d(images, params["backbone"]["stem"]["conv"], stride=2,
+                 padding=3)
+    x = L.relu(L.batch_norm_inference(x, params["backbone"]["stem"]["bn"],
+                                      eps=0.0))
+    x = L.max_pool2d(x, 3, 2, padding=1)
+    for si, name in enumerate(["layer1", "layer2", "layer3"]):
+        stride = 1 if si == 0 else 2
+        for bi, bp in enumerate(params["backbone"][name]):
+            x = resnet_nn.bottleneck(x, bp, stride if bi == 0 else 1, 1, rcfg)
+    return x  # C4 [B, H/16, W/16, 1024]
+
+
+def res5_head(params: dict, pooled: jax.Array, cfg: MaskRCNNC4Config):
+    """layer4 on pooled 14x14 rois -> [N, 7, 7, 2048]."""
+    rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
+                                  frozen_bn=True)
+    x = pooled
+    for bi, bp in enumerate(params["layer4"]):
+        x = resnet_nn.bottleneck(x, bp, 2 if bi == 0 else 1, 1, rcfg)
+    return x
+
+
+def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
+                      cfg: MaskRCNNC4Config):
+    b, ch, cw, _ = images.shape
+    c4 = backbone_c4(params, images, cfg)
+    na = len(cfg.anchor_sizes) * len(cfg.anchor_ratios)
+    logits, deltas = M.rpn_head(params["rpn"], [c4], na)
+    anchors = jnp.asarray(make_anchors_np(cfg, ch, cw))
+    # reuse the FPN proposal machinery with one level
+    fpn_like = M.MaskRCNNConfig(
+        rpn_pre_nms_top_n=cfg.rpn_pre_nms_top_n,
+        rpn_post_nms_top_n=cfg.rpn_post_nms_top_n,
+        rpn_nms_thresh=cfg.rpn_nms_thresh,
+        fpn_post_nms_top_n=cfg.rpn_post_nms_top_n,
+        anchor_stride=(cfg.anchor_stride,),
+        anchor_ratios=tuple([r for _ in cfg.anchor_sizes
+                             for r in cfg.anchor_ratios]),
+    )
+    proposals, p_scores, p_valid = M.rpn_proposals(
+        logits, deltas, [anchors], image_hw, fpn_like, (ch, cw))
+
+    p = proposals.shape[1]
+    flat_boxes = proposals.reshape(b * p, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), p)
+    pooled = sampling.roi_align(
+        c4, flat_boxes, flat_bidx, output_size=cfg.pooler_resolution,
+        spatial_scale=1.0 / cfg.anchor_stride,
+        sampling_ratio=cfg.pooler_sampling_ratio)
+    feats = res5_head(params["roi_head"], pooled, cfg)
+    x = jnp.mean(feats, axis=(1, 2))  # global avgpool
+    cls_logits = L.linear(x, params["box_pred"]["cls_score"])
+    box_deltas = L.linear(x, params["box_pred"]["bbox_pred"])
+    scores = jax.nn.softmax(
+        cls_logits.astype(jnp.float32), -1).reshape(b, p, cfg.num_classes)
+    box_deltas = box_deltas.astype(jnp.float32).reshape(
+        b, p, cfg.num_classes * 4)
+
+    def per_image(props, props_valid, sc, dl, hw):
+        decoded = box_ops.decode_boxes(dl, props, weights=cfg.box_reg_weights)
+        decoded = decoded.reshape(p, cfg.num_classes, 4)[:, 1:, :]
+        decoded = box_ops.clip_to_image(decoded, hw[0] - 1, hw[1] - 1)
+        cls_scores = sc[:, 1:]
+        cand_valid = (props_valid[:, None]
+                      & (cls_scores > cfg.score_thresh)
+                      & box_ops.nonempty_mask(decoded))
+        top_s, sel, sel_valid = box_ops.masked_topk(
+            cls_scores.reshape(-1), cand_valid.reshape(-1),
+            cfg.pre_final_nms_topk)
+        cboxes = decoded.reshape(-1, 4)[sel]
+        cclasses = jnp.tile(jnp.arange(cfg.num_classes - 1), (p,))[sel]
+        keep = nms_ops.batched_nms_mask(
+            cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
+        fin_s, fidx, fvalid = box_ops.masked_topk(
+            jnp.where(keep, top_s, -jnp.inf), keep, cfg.detections_per_img)
+        return cboxes[fidx], jnp.where(fvalid, fin_s, 0.0), cclasses[fidx], fvalid
+
+    det_boxes, det_scores, det_classes, det_valid = jax.vmap(per_image)(
+        proposals, p_valid, scores, box_deltas, image_hw)
+
+    # mask head: res5 again on kept detections, deconv + 1x1
+    d = cfg.detections_per_img
+    flat_det = det_boxes.reshape(b * d, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), d)
+    mpool = sampling.roi_align(
+        c4, flat_det, flat_bidx, output_size=cfg.pooler_resolution,
+        spatial_scale=1.0 / cfg.anchor_stride,
+        sampling_ratio=cfg.pooler_sampling_ratio)
+    mfeats = res5_head(params["roi_head"], mpool, cfg)
+    x = L.relu(L.conv_transpose2d(mfeats, params["mask_pred"]["conv5_mask"],
+                                  stride=2))
+    mask_logits = L.conv2d(x, params["mask_pred"]["mask_fcn_logits"])
+    mask_logits = mask_logits.reshape(b, d, cfg.mask_out, cfg.mask_out,
+                                      cfg.num_classes)
+    masks = jnp.take_along_axis(
+        mask_logits, (det_classes + 1)[:, :, None, None, None], axis=-1)[..., 0]
+    return {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": det_classes,
+        "masks": jax.nn.sigmoid(masks.astype(jnp.float32)),
+        "valid": det_valid,
+        "proposals": proposals,
+        "proposal_valid": p_valid,
+    }
+
+
+def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
+    keys = iter(jax.random.split(key, 16))
+    rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
+                                  frozen_bn=True)
+    full = resnet_nn.init_params(next(keys), rcfg, dtype)
+    backbone = {k: full[k] for k in ("stem", "layer1", "layer2", "layer3")}
+    na = len(cfg.anchor_sizes) * len(cfg.anchor_ratios)
+    return {
+        "backbone": backbone,
+        "roi_head": {"layer4": full["layer4"]},
+        "rpn": {
+            "conv": L.conv_params(next(keys), 3, 3, 1024, 1024, dtype=dtype),
+            "cls": L.conv_params(next(keys), 1, 1, 1024, na, dtype=dtype),
+            "bbox": L.conv_params(next(keys), 1, 1, 1024, na * 4, dtype=dtype),
+        },
+        "box_pred": {
+            "cls_score": L.linear_params(next(keys), 2048, cfg.num_classes,
+                                         dtype=dtype),
+            "bbox_pred": L.linear_params(next(keys), 2048,
+                                         cfg.num_classes * 4, dtype=dtype),
+        },
+        "mask_pred": {
+            "conv5_mask": {
+                "weight": jax.random.normal(
+                    next(keys), (2, 2, 2048, 256), dtype) * 0.01,
+                "bias": jnp.zeros((256,), dtype),
+            },
+            "mask_fcn_logits": L.conv_params(next(keys), 1, 1, 256,
+                                             cfg.num_classes, dtype=dtype),
+        },
+    }
+
+
+def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
+    """maskrcnn-benchmark C4 checkpoint names -> param tree."""
+    from tpuseg.weights.detectron_map import _bn, _conv, _linear, _strip_module
+
+    flat = _strip_module(flat)
+    body = "backbone.body."
+    backbone = {"stem": {"conv": _conv(flat, body + "stem.conv1"),
+                         "bn": _bn(flat, body + "stem.bn1")}}
+
+    def stage(prefix, nblocks):
+        blocks = []
+        for bi in range(nblocks):
+            base = f"{prefix}.{bi}"
+            p = {
+                "conv1": _conv(flat, f"{base}.conv1"),
+                "bn1": _bn(flat, f"{base}.bn1"),
+                "conv2": _conv(flat, f"{base}.conv2"),
+                "bn2": _bn(flat, f"{base}.bn2"),
+                "conv3": _conv(flat, f"{base}.conv3"),
+                "bn3": _bn(flat, f"{base}.bn3"),
+                "downsample": None,
+                "conv2_offset": None,
+            }
+            if f"{base}.downsample.0.weight" in flat:
+                p["downsample"] = {
+                    "conv": _conv(flat, f"{base}.downsample.0"),
+                    "bn": _bn(flat, f"{base}.downsample.1"),
+                }
+            blocks.append(p)
+        return blocks
+
+    nb = resnet_nn.STAGE_BLOCKS[cfg.depth]
+    for si in range(3):
+        backbone[f"layer{si + 1}"] = stage(f"{body}layer{si + 1}", nb[si])
+    layer4 = stage("roi_heads.box.feature_extractor.head.layer4", nb[3])
+    return {
+        "backbone": backbone,
+        "roi_head": {"layer4": layer4},
+        "rpn": {
+            "conv": _conv(flat, "rpn.head.conv"),
+            "cls": _conv(flat, "rpn.head.cls_logits"),
+            "bbox": _conv(flat, "rpn.head.bbox_pred"),
+        },
+        "box_pred": {
+            "cls_score": _linear(flat, "roi_heads.box.predictor.cls_score"),
+            "bbox_pred": _linear(flat, "roi_heads.box.predictor.bbox_pred"),
+        },
+        "mask_pred": {
+            "conv5_mask": {
+                "weight": np.ascontiguousarray(np.asarray(
+                    flat["roi_heads.mask.predictor.conv5_mask.weight"],
+                    np.float32).transpose(2, 3, 0, 1)),
+                "bias": np.asarray(
+                    flat["roi_heads.mask.predictor.conv5_mask.bias"],
+                    np.float32),
+            },
+            "mask_fcn_logits": _conv(
+                flat, "roi_heads.mask.predictor.mask_fcn_logits"),
+        },
+    }
