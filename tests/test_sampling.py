@@ -146,3 +146,36 @@ def test_multilevel_roi_align_matches_per_level(rng):
         sel = np.asarray(levels) == li
         want[sel] = pooled[sel]
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_yolact_preprocess_matches_cv2(rng):
+    """device resize+normalize == cv2 INTER_LINEAR + FastBaseTransform math."""
+    import cv2
+
+    from tpuseg.ops.preprocess import (
+        YOLACT_MEAN_RGB, YOLACT_STD_RGB, yolact_preprocess)
+
+    img = rng.integers(0, 255, (123, 177, 3)).astype(np.uint8)
+    got = np.asarray(yolact_preprocess(jnp.asarray(img)[None], size=96))[0]
+    want = cv2.resize(img, (96, 96), interpolation=cv2.INTER_LINEAR).astype(
+        np.float32)
+    want = (want - np.asarray(YOLACT_MEAN_RGB)) / np.asarray(YOLACT_STD_RGB)
+    # cv2 rounds to uint8 only on integer inputs; our path keeps floats:
+    # compare against a float-exact reference instead
+    fy = (np.arange(96) + 0.5) * (123 / 96) - 0.5
+    fx = (np.arange(96) + 0.5) * (177 / 96) - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, 122)
+    x0 = np.clip(np.floor(fx).astype(int), 0, 176)
+    y1 = np.minimum(y0 + 1, 122)
+    x1 = np.minimum(x0 + 1, 176)
+    wy = np.clip(fy - y0, 0, 1)[:, None, None]
+    wx = np.clip(fx - x0, 0, 1)[None, :, None]
+    f = img.astype(np.float32)
+    ref = ((1 - wy) * (1 - wx) * f[y0][:, x0]
+           + (1 - wy) * wx * f[y0][:, x1]
+           + wy * (1 - wx) * f[y1][:, x0]
+           + wy * wx * f[y1][:, x1])
+    ref = (ref - np.asarray(YOLACT_MEAN_RGB)) / np.asarray(YOLACT_STD_RGB)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-2)
+    # and close to the cv2 (uint8-rounded) result
+    assert np.abs(got - want).max() < 0.05

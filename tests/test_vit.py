@@ -115,3 +115,53 @@ def test_vit_b16_shapes():
     x = jnp.zeros((1, 224, 224, 3))
     logits = jax.jit(lambda p, x: V.forward(p, x, V.VIT_B16))(params, x)
     assert logits.shape == (1, 1000)
+
+
+def test_vit_npz_mapping(tmp_path, rng):
+    """google-research npz layout loads and matches manual forward shapes."""
+    import jax
+
+    from tpuseg.weights.vit_map import from_npz
+
+    cfg = V.ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                      num_layers=2, num_heads=4, mlp_dim=128, num_classes=7)
+    d, mlp, heads = 64, 128, 4
+    hd = d // heads
+    npz = {}
+    npz["embedding/kernel"] = rng.standard_normal((8, 8, 3, d)).astype(np.float32)
+    npz["embedding/bias"] = rng.standard_normal(d).astype(np.float32)
+    npz["cls"] = rng.standard_normal((1, 1, d)).astype(np.float32)
+    npz["Transformer/posembed_input/pos_embedding"] = rng.standard_normal(
+        (1, cfg.num_patches + 1, d)).astype(np.float32)
+    for i in range(2):
+        eb = f"Transformer/encoderblock_{i}/"
+        for ln, name in (("LayerNorm_0", "ln1"), ("LayerNorm_2", "ln2")):
+            npz[eb + f"{ln}/scale"] = np.ones(d, np.float32)
+            npz[eb + f"{ln}/bias"] = np.zeros(d, np.float32)
+        at = eb + "MultiHeadDotProductAttention_1/"
+        for nm in ("query", "key", "value"):
+            npz[at + f"{nm}/kernel"] = rng.standard_normal(
+                (d, heads, hd)).astype(np.float32)
+            npz[at + f"{nm}/bias"] = rng.standard_normal(
+                (heads, hd)).astype(np.float32)
+        npz[at + "out/kernel"] = rng.standard_normal(
+            (heads, hd, d)).astype(np.float32)
+        npz[at + "out/bias"] = rng.standard_normal(d).astype(np.float32)
+        npz[eb + "MlpBlock_3/Dense_0/kernel"] = rng.standard_normal(
+            (d, mlp)).astype(np.float32)
+        npz[eb + "MlpBlock_3/Dense_0/bias"] = rng.standard_normal(
+            mlp).astype(np.float32)
+        npz[eb + "MlpBlock_3/Dense_1/kernel"] = rng.standard_normal(
+            (mlp, d)).astype(np.float32)
+        npz[eb + "MlpBlock_3/Dense_1/bias"] = rng.standard_normal(
+            d).astype(np.float32)
+    npz["Transformer/encoder_norm/scale"] = np.ones(d, np.float32)
+    npz["Transformer/encoder_norm/bias"] = np.zeros(d, np.float32)
+    npz["head/kernel"] = rng.standard_normal((d, 7)).astype(np.float32)
+    npz["head/bias"] = rng.standard_normal(7).astype(np.float32)
+
+    params = from_npz(npz, cfg)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    logits = V.forward(jax.tree.map(jnp.asarray, params), x, cfg)
+    assert logits.shape == (1, 7)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -172,3 +172,27 @@ def test_yolact_plus_pipeline():
     dets = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))(params, imgs)
     assert "mask_scores" in dets
     assert dets["mask_scores"].shape == (1, 5)
+
+
+def test_traditional_nms_variant():
+    cfg = Y.YolactConfig(img_size=128, num_classes=5, nms_top_k=16,
+                         max_num_detections=10, use_fast_nms=False)
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, (1, 128, 128, 3), np.uint8))
+    dets = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))(params, imgs)
+    assert dets["boxes"].shape == (1, 10, 4)
+    # kept non-degenerate boxes of the same class are mutually below the
+    # IoU threshold (random weights emit some zero-area boxes -> NaN IoU)
+    v = np.asarray(dets["valid"])[0]
+    bx = np.asarray(dets["boxes"])[0][v]
+    cl = np.asarray(dets["classes"])[0][v]
+    area = (bx[:, 2] - bx[:, 0]) * (bx[:, 3] - bx[:, 1])
+    bx, cl = bx[area > 1e-6], cl[area > 1e-6]
+    from tpuseg.core import boxes as B
+    if len(bx) > 1:
+        iou = np.asarray(B.iou_matrix(jnp.asarray(bx), jnp.asarray(bx)))
+        same = cl[:, None] == cl[None, :]
+        np.fill_diagonal(same, False)
+        assert (iou[same] <= cfg.nms_iou_thresh + 1e-6).all()

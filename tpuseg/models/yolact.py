@@ -54,6 +54,9 @@ class YolactConfig:
     nms_top_k: int = 200
     max_num_detections: int = 100
     variances: tuple = (0.1, 0.2)
+    # Fast-NMS (default) vs the reference's optional traditional per-class
+    # greedy NMS (layers/functions/detection.py use_fast_nms flag)
+    use_fast_nms: bool = True
     # YOLACT++ extras
     dcn_backbone: bool = False  # DCNv2 in stages 1-3, every 3rd block
     use_maskiou: bool = False  # FastMaskIoUNet mask rescoring
@@ -129,7 +132,8 @@ def _protonet(params: dict, x: jax.Array) -> jax.Array:
     for i in range(3):
         x = L.relu(L.conv2d(x, params[f"conv{i}"], padding=1))
     x = jax.image.resize(
-        x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]), "linear"
+        x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+        "linear", antialias=False
     )
     x = L.relu(L.conv2d(x, params["conv3"], padding=1))
     x = L.conv2d(x, params["conv4"])  # 1x1 to mask_dim, no activation here
@@ -218,9 +222,24 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
     def per_image(loc, conf, coeff, proto):
         boxes = box_ops.ssd_decode(loc, priors, cfg.variances)  # [N,4] normalized
         scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
-        cboxes, cscores, cclasses, cidx, keep = nms_ops.fast_nms(
-            boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k
-        )
+        if cfg.use_fast_nms:
+            cboxes, cscores, cclasses, cidx, keep = nms_ops.fast_nms(
+                boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k
+            )
+        else:
+            # traditional_nms: exact greedy per class (coordinate-offset
+            # batched form) over the per-class top_k candidates
+            c = scores.shape[0]
+            top_s, top_i, top_v = box_ops.masked_topk(
+                scores, scores > cfg.conf_thresh, cfg.nms_top_k)  # [C, K]
+            cboxes = boxes[top_i]  # [C, K, 4]
+            cls_ids = jnp.broadcast_to(
+                jnp.arange(c)[:, None], top_i.shape)
+            keep = nms_ops.batched_nms_mask(
+                cboxes.reshape(-1, 4), top_s.reshape(-1),
+                cls_ids.reshape(-1), cfg.nms_iou_thresh,
+                valid=top_v.reshape(-1)).reshape(c, -1)
+            cscores, cclasses, cidx = top_s, cls_ids, top_i
         # flatten classes and take global top-k (Detect: max_num_detections)
         flat_scores = jnp.where(keep, cscores, 0.0).reshape(-1)
         flat_boxes = cboxes.reshape(-1, 4)

@@ -21,7 +21,8 @@ def _upsample_nearest_to(x, ref):
 
 def _upsample_bilinear_to(x, ref):
     return jax.image.resize(
-        x, (x.shape[0], ref.shape[1], ref.shape[2], x.shape[3]), method="linear"
+        x, (x.shape[0], ref.shape[1], ref.shape[2], x.shape[3]),
+        method="linear", antialias=False
     )
 
 

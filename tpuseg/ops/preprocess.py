@@ -37,9 +37,15 @@ DETECTRON_PIXEL_MEAN_BGR = (102.9801, 115.9465, 122.7717)
 
 def resize_bilinear_exact(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear resize with half-pixel centers == cv2.resize INTER_LINEAR ==
-    torch interpolate(align_corners=False). img [..., H, W, C]."""
+    torch interpolate(align_corners=False). img [..., H, W, C].
+
+    antialias=False is essential: jax.image.resize antialiases downscales by
+    default, which neither cv2 nor the reference's torch interpolate does —
+    the difference is large enough to move mAP (SURVEY §7 hard part 4).
+    """
     shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
-    return jax.image.resize(img.astype(jnp.float32), shape, method="linear")
+    return jax.image.resize(
+        img.astype(jnp.float32), shape, method="linear", antialias=False)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))
