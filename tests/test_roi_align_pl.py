@@ -41,3 +41,26 @@ def test_pallas_roi_align_mask_resolution_interpret(rng):
         feats, boxes, bi, levels, output_size=14, sampling_ratio=2,
         strides=strides, rows=32, span=32, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_differentiable_pooler_grads_match_jnp(rng):
+    import jax
+
+    from tpuseg.ops.pallas.roi_align_pl import make_differentiable_pooler
+
+    feats, strides, boxes, bi, levels = _setup(rng, n=6, c=128)
+    pooler = make_differentiable_pooler(7, 2, strides, interpret=True)
+
+    def loss_pallas(f):
+        return jnp.sum(pooler(f, boxes, bi, levels) ** 2)
+
+    def loss_jnp(f):
+        return jnp.sum(S.multilevel_roi_align(
+            f, boxes, bi, levels, output_size=7, sampling_ratio=2,
+            strides=strides) ** 2)
+
+    g_pl = jax.grad(loss_pallas)(feats)
+    g_np = jax.grad(loss_jnp)(feats)
+    for a, b in zip(g_pl, g_np):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)

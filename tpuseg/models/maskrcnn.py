@@ -259,11 +259,11 @@ def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from tpuseg.ops.pallas.roi_align_pl import multilevel_roi_align_pallas
+        from tpuseg.ops.pallas.roi_align_pl import make_differentiable_pooler
 
-        return multilevel_roi_align_pallas(
-            tuple(feats), boxes, batch_idx, levels, output_size=resolution,
-            sampling_ratio=sampling_ratio, strides=strides)
+        pooler = make_differentiable_pooler(
+            resolution, sampling_ratio, tuple(strides))
+        return pooler(tuple(feats), boxes, batch_idx, levels)
     return sampling.multilevel_roi_align(
         tuple(feats), boxes, batch_idx, levels, output_size=resolution,
         sampling_ratio=sampling_ratio, strides=strides)
@@ -413,11 +413,9 @@ def forward_train_losses(
     s = sample["boxes"].shape[1]
     flat_boxes = sample["boxes"].reshape(b * s, 4)
     flat_bidx = jnp.repeat(jnp.arange(b), s)
-    # training differentiates through the pooler: use the jnp gather path
-    # (the Pallas kernel is forward-only until its custom VJP lands)
     pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
-        cfg.pooler_sampling_ratio, use_pallas=False)
+        cfg.pooler_sampling_ratio)
     cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
     flat_sample = {k_: v.reshape((b * s,) + v.shape[2:])
                    for k_, v in sample.items()}
@@ -428,7 +426,7 @@ def forward_train_losses(
     # mask head on the sampled rois
     mask_pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
-        cfg.pooler_sampling_ratio, use_pallas=False)
+        cfg.pooler_sampling_ratio)
     mask_logits = mask_head(params["mask_head"], mask_pooled)
 
     def per_image_targets(rois, gt_idx, gb, crops):

@@ -162,6 +162,42 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align):
     return kernel
 
 
+@functools.lru_cache(maxsize=16)
+def make_differentiable_pooler(output_size: int, sampling_ratio: int,
+                               strides: tuple, interpret: bool = False):
+    """Pallas forward + jnp-transpose backward (the CUDA kernel's VJP:
+    gradients flow to features only; boxes are non-differentiable, matching
+    ROIAlign_cuda backward)."""
+    from tpuseg.ops import sampling as _sampling
+
+    @jax.custom_vjp
+    def pooler(feats, boxes, batch_idx, levels):
+        return multilevel_roi_align_pallas(
+            feats, boxes, batch_idx, levels, output_size=output_size,
+            sampling_ratio=sampling_ratio, strides=strides,
+            interpret=interpret)
+
+    def fwd(feats, boxes, batch_idx, levels):
+        return pooler(feats, boxes, batch_idx, levels), (
+            feats, boxes, batch_idx, levels)
+
+    def bwd(res, g):
+        feats, boxes, batch_idx, levels = res
+
+        def jnp_pool(f):
+            return _sampling.multilevel_roi_align(
+                f, jax.lax.stop_gradient(boxes), batch_idx, levels,
+                output_size=output_size, sampling_ratio=sampling_ratio,
+                strides=strides)
+
+        _, vjp = jax.vjp(jnp_pool, feats)
+        (dfeats,) = vjp(g)
+        return dfeats, None, None, None
+
+    pooler.defvjp(fwd, bwd)
+    return pooler
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "strides", "rows",
