@@ -104,3 +104,33 @@ def test_evaluate_dataset_oracle_is_perfect(tmp_path):
     maps = orig_eval(pred, ds, progress=False)
     assert maps["box"]["all"] == 100.0
     assert maps["mask"]["all"] >= 95.0  # proto-res roundtrip is near-lossless
+
+
+def test_maskrcnn_evaluate_coco_oracle(tmp_path):
+    """Ground truth through evaluate_coco's json+COCOeval path -> AP == 1."""
+    import types
+
+    from tpuseg.engine import maskrcnn_engine as ME
+
+    img_dir, ann = _write_synth_dataset(str(tmp_path))
+    # synthetic categories 1,2 -> remap into COCO ids via identity label_map
+    ds = CocoDetectionDataset(img_dir, ann, label_map=None)
+
+    class Oracle:
+        def run_on_bgr_image(self, img_bgr):
+            iid = oracle_state["ids"].pop(0)
+            gt = ds.load_target(iid)
+            # classes: category_id - 1 must invert via COCO_CATEGORY_IDS;
+            # synthetic cats are 1 and 2 == COCO ids 1, 2 (indices 0, 1)
+            return {
+                "boxes": gt["boxes"] - np.asarray([0, 0, 1, 1]),  # xyxy inc.
+                "scores": np.full(len(gt["boxes"]), 0.9, np.float32),
+                "classes": gt["classes"],  # 0-based already (label_map=None
+                # keeps raw category ids; load_target subtracts 1)
+                "masks": gt["masks"],
+            }
+
+    oracle_state = {"ids": list(ds.image_ids)}
+    stats = ME.evaluate_coco(Oracle(), ds, progress=False)
+    assert stats["bbox"][0] > 0.99
+    assert stats["segm"][0] > 0.99

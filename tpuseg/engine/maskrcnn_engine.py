@@ -10,7 +10,6 @@ Post: Masker-exact 28x28 -> image-coords mask pasting.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import copy
 import datetime
-import time
 from collections import defaultdict
 
 import numpy as np

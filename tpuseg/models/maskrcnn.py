@@ -20,7 +20,6 @@ Everything downstream is padded/ranked, never filtered:
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
 
 import jax

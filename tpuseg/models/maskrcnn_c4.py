@@ -12,7 +12,7 @@ deconv(2048->256) + 1x1 conv (MaskRCNNC4Predictor).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

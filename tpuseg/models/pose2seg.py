@@ -16,7 +16,6 @@ device (affine_align / seg head / inverse grid_sample paste).
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

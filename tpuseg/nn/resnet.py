@@ -16,7 +16,7 @@ trace time). Returns the C2..C5 feature maps for FPN consumers.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

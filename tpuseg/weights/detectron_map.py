@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 
 from tpuseg.models.maskrcnn import MaskRCNNConfig
-from tpuseg.nn import resnet as resnet_nn
 
 STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
