@@ -180,6 +180,7 @@ def fast_nms(
     top_k: int = 200,
     second_threshold: bool = False,
     conf_thresh: float = 0.05,
+    exact_topk: bool = False,
 ):
     """YOLACT Fast-NMS (layers/functions/detection.py::fast_nms).
 
@@ -187,10 +188,19 @@ def fast_nms(
     Returns (boxes [C,K,4], scores [C,K], classes [C,K], keep [C,K]) flattened
     by the caller. Loop-free: per class take top_k, build the IoU matrix, keep
     a box iff no higher-scored same-class box overlaps it above the threshold.
+
+    The per-class candidate selection uses TPU ``approx_max_k`` (recall ~0.99
+    at rank 200 over ~19k priors; only near-threshold tail candidates can
+    differ) unless ``exact_topk`` — full sort-based top_k — is requested.
     """
     c, n = scores.shape
     k = min(top_k, n)
-    top_scores, idx = jax.lax.top_k(scores, k)  # [C, K]
+    if exact_topk or jax.default_backend() != "tpu":
+        top_scores, idx = jax.lax.top_k(scores, k)  # [C, K]
+    else:
+        top_scores, idx = jax.lax.approx_max_k(
+            scores, k, recall_target=0.99, aggregate_to_topk=True)
+        idx = idx.astype(jnp.int32)
     cboxes = boxes[idx]  # [C, K, 4]
     iou = box_ops.iou_matrix(cboxes, cboxes)  # [C, K, K]
     upper = (

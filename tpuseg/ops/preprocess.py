@@ -44,6 +44,8 @@ def resize_bilinear_exact(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     the difference is large enough to move mAP (SURVEY §7 hard part 4).
     """
     shape = img.shape[:-3] + (out_hw[0], out_hw[1], img.shape[-1])
+    if img.shape[-3:-1] == tuple(out_hw):  # identity resize: just cast
+        return img.astype(jnp.float32)
     return jax.image.resize(
         img.astype(jnp.float32), shape, method="linear", antialias=False)
 
