@@ -56,6 +56,7 @@ class MaskRCNNConfig:
     detections_per_img: int = 100
     box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
     pre_final_nms_topk: int = 2048  # static cap on class-box candidates
+    approx_topk: bool = False  # approx_max_k option (no gain measured here)
     # mask head
     mask_resolution: int = 14
     mask_out: int = 28
@@ -204,7 +205,8 @@ def rpn_proposals(
 
         k = min(cfg.rpn_pre_nms_top_n, lg.shape[1])
         obj = jax.nn.sigmoid(lg)
-        _, idx, top_valid = box_ops.masked_topk(lg, inside, k)
+        _, idx, top_valid = box_ops.masked_topk(
+            lg, inside, k, approx=cfg.approx_topk)
 
         def per_image(dl_i, idx_i, hw_i):
             boxes = box_ops.decode_boxes(dl_i[idx_i], an[idx_i],
@@ -321,7 +323,8 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         flat_b = decoded.reshape(-1, 4)
         flat_c = jnp.tile(jnp.arange(cfg.num_classes - 1), (p,))
         top_s, sel, sel_valid = box_ops.masked_topk(
-            flat_s, cand_valid.reshape(-1), cfg.pre_final_nms_topk)
+            flat_s, cand_valid.reshape(-1), cfg.pre_final_nms_topk,
+            approx=cfg.approx_topk)
         cboxes = flat_b[sel]
         cclasses = flat_c[sel]
         keep = nms_ops.batched_nms_mask(
