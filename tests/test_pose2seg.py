@@ -67,7 +67,7 @@ def test_theta_roundtrip_paste(rng):
 
 def test_forward_shapes():
     cfg = P2S.Pose2SegConfig(input_size=64, align_size=16, max_people=4,
-                             seg_blocks=2)
+                             seg_blocks=2, paste_size=64)
     params = P2S.init_params(jax.random.PRNGKey(0), cfg)
     images = jnp.zeros((1, 64, 64, 3))
     theta = jnp.zeros((1, 4, 2, 3))
@@ -85,7 +85,7 @@ def test_predictor_end_to_end(rng):
     from tpuseg.engine.pose2seg_engine import Pose2SegPredictor
 
     cfg = P2S.Pose2SegConfig(input_size=64, align_size=16, max_people=4,
-                             seg_blocks=2)
+                             seg_blocks=2, paste_size=32)
     pred = Pose2SegPredictor(cfg)
     img = rng.integers(0, 255, (100, 80, 3)).astype(np.uint8)
     tpl = P2S.templates()[0]

@@ -64,10 +64,15 @@ class Pose2SegPredictor:
         out = self._run(self.params, jnp.asarray(canvas, jnp.float32)[None],
                         jnp.asarray(theta), jnp.asarray(inv_theta),
                         jnp.asarray(valid))
-        masks_s = np.asarray(out["masks"])[0, :n]  # [n, S, S]
+        masks_s = np.asarray(out["masks"])[0, :n]  # [n, PS, PS] paste grid
+        ps = cfg.paste_size
         masks = np.zeros((n, h, w), np.uint8)
+        # the paste grid covers the same square canvas, coarser: crop the
+        # real-image region at paste scale, then resize to the original
+        ph = max(int(round(nh * ps / s)), 1)
+        pw = max(int(round(nw * ps / s)), 1)
         for i in range(n):
-            m = masks_s[i][:nh, :nw]
+            m = masks_s[i][:ph, :pw]
             m = cv2.resize(m, (w, h), interpolation=cv2.INTER_LINEAR)
             masks[i] = (m > cfg.mask_thresh).astype(np.uint8)
         return {"masks": masks, "valid": valid[0, :n]}

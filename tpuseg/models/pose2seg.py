@@ -38,6 +38,10 @@ class Pose2SegConfig:
     seg_blocks: int = 10
     feature_channels: int = 256
     mask_thresh: float = 0.5
+    # paste-back grid resolution: the aligned mask only carries 64x64 of
+    # content, so pasting at 256 (then host-resizing to the original image)
+    # is visually lossless and 4x cheaper than a full 512 grid
+    paste_size: int = 256
 
 
 # ---------------------------------------------------------------------------
@@ -198,14 +202,16 @@ def forward(params: dict, images: jax.Array, theta: jax.Array,
                                         -1), cfg)
     logits = logits.reshape(b, p, cfg.align_size, cfg.align_size, 2)
     fg = jax.nn.softmax(logits, -1)[..., 1]  # [B,P,64,64]
-    # paste: sample the aligned mask over the full image grid
+    # paste: sample the aligned mask over the paste grid (same normalized
+    # frame as the canvas, just coarser — host resizes to image size)
     grid_theta = inv_theta.reshape(b * p, 2, 3)
     from tpuseg.ops.sampling import affine_grid
 
-    grid = affine_grid(grid_theta, s, s)
+    ps = cfg.paste_size
+    grid = affine_grid(grid_theta, ps, ps)
     masks = grid_sample(fg.reshape(b * p, cfg.align_size, cfg.align_size, 1),
                         grid)[..., 0]
-    masks = masks.reshape(b, p, s, s)
+    masks = masks.reshape(b, p, ps, ps)
     masks = jnp.where(person_valid[:, :, None, None], masks, 0.0)
     return {"aligned_logits": logits, "masks": masks}
 
