@@ -30,8 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(p, s, rows, span, level_shapes, c, align):
-    """level_shapes: list of (H_l, W_l_padded) static per level."""
+def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
+                 level_span):
+    """level_shapes: list of (H_l, W_l_padded) static per level;
+    level_rows/level_span: per-level DMA window bounds (the canonical FPN
+    assignment bounds roi extents on levels below the clamped top, so
+    their windows are smaller than the worst case)."""
     num_levels = len(level_shapes)
     ps = p * s
 
@@ -42,7 +46,7 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align):
         row_start_ref,  # [N] int32
         col_start_ref,  # [N] int32 (8-aligned)
         # blocked per-step inputs
-        hw_ref,  # [1, 1, 2] int32 SMEM block: true (H, W) of the box's level
+        hw_ref,  # [1, 1, 4] int32 SMEM: true (H, W, window_rows, window_span)
         boxf_ref,  # [1, 1, 4] f32 SMEM block: x1, y1, bin_w, bin_h (cells)
         *refs,
     ):
@@ -60,8 +64,8 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align):
             r0 = row_start_ref[j]
             c0 = pl.multiple_of(col_start_ref[j], align)
             for li, (hl, wl) in enumerate(level_shapes):
-                rl = min(rows, hl)
-                sl = min(span, wl)
+                rl = min(rows, hl, level_rows[li])
+                sl = min(span, wl, level_span[li])
 
                 @pl.when(lv == li)
                 def _():
@@ -75,8 +79,8 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align):
         def wait(j, slot):
             lv = level_ref[j]
             for li, (hl, wl) in enumerate(level_shapes):
-                rl = min(rows, hl)
-                sl = min(span, wl)
+                rl = min(rows, hl, level_rows[li])
+                sl = min(span, wl, level_span[li])
 
                 @pl.when(lv == li)
                 def _():
@@ -141,7 +145,16 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align):
             + (c_iota == x1l[:, None]).astype(jnp.float32) * wx1[:, None]
         )
 
+        # mask the tile to this box's DMA window: regions beyond it hold
+        # stale/uninitialized data, and 0-weight x NaN would poison the
+        # interpolation matmuls
+        rl_d = hw_ref[0, 0, 2]
+        sl_d = hw_ref[0, 0, 3]
+        rmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0) < rl_d
+        cmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) < sl_d
+        maskf = (rmask & cmask).astype(jnp.float32)  # f32: Mosaic minor-dim
         tile = tile_ref[i % 2].astype(jnp.float32)  # [ROWS, SPAN, C]
+        tile = tile * maskf[:, :, None]
         tmp = jax.lax.dot_general(
             ay, tile.reshape(rows, span * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -246,21 +259,38 @@ def multilevel_roi_align_pallas(
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
 
+    # per-level window bounds: levels below the clamped top hold rois of
+    # extent <= 2 * canonical_scale / stride + halo (= 30 cells for the
+    # standard 224/4 rule); the top level is unbounded up to its map.
+    n_lv = len(feats)
+    lv_rows_b = tuple(
+        (rows if li == n_lv - 1 else min(32, rows)) for li in range(n_lv))
+    lv_span_b = tuple(
+        (span if li == n_lv - 1 else min(32 + align, span))
+        for li in range(n_lv))
+    rows_per_box = jnp.asarray(
+        [min(r, h) for r, (h, _) in zip(lv_rows_b, shapes_pad)],
+        jnp.int32)[levels]
+    span_per_box = jnp.asarray(
+        [min(sp, w) for sp, (_, w) in zip(lv_span_b, shapes_pad)],
+        jnp.int32)[levels]
     row_start = jnp.clip(
-        jnp.floor(y1).astype(jnp.int32) - 1, 0, jnp.maximum(hs - rows, 0))
+        jnp.floor(y1).astype(jnp.int32) - 1, 0,
+        jnp.maximum(hs - rows_per_box, 0))
     col_start = jnp.clip(
         jnp.floor(x1).astype(jnp.int32) - 1, 0,
-        jnp.maximum(ws_pad - span, 0))
+        jnp.maximum(ws_pad - span_per_box, 0))
     col_start = (col_start // align) * align  # Mosaic slice alignment
     boxf = jnp.stack([x1, y1, roi_w / p, roi_h / p], axis=1)
 
-    hw = jnp.stack([hs, ws], axis=1).reshape(n, 1, 2)
+    hw = jnp.stack([hs, ws, rows_per_box, span_per_box],
+                   axis=1).reshape(n, 1, 4)
     boxf = boxf.reshape(n, 1, 4)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, 1, 2), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 1, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -273,7 +303,8 @@ def multilevel_roi_align_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = _make_kernel(p, s, rows, span, shapes_pad, c, align)
+    kernel = _make_kernel(p, s, rows, span, shapes_pad, c, align,
+                          lv_rows_b, lv_span_b)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
