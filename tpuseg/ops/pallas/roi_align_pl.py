@@ -152,9 +152,11 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
         sl_d = hw_ref[0, 0, 3]
         rmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0) < rl_d
         cmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) < sl_d
-        maskf = (rmask & cmask).astype(jnp.float32)  # f32: Mosaic minor-dim
+        # minor-dim insertion must happen on a 32-bit type (Mosaic), and
+        # masking must be a select (0 * NaN stays NaN on uninitialized VMEM)
+        maskf = (rmask & cmask).astype(jnp.float32)
         tile = tile_ref[i % 2].astype(jnp.float32)  # [ROWS, SPAN, C]
-        tile = tile * maskf[:, :, None]
+        tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
         tmp = jax.lax.dot_general(
             ay, tile.reshape(rows, span * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
