@@ -82,3 +82,26 @@ def test_plain_pickle_pkl(tmp_path):
     flat = flatten_state_dict(load_torch_file(path))
     np.testing.assert_array_equal(flat["a"], state["a"])
     np.testing.assert_array_equal(flat["b.c"], state["b"]["c"])
+
+
+def test_save_torch_file_loads_in_torch(tmp_path, rng):
+    """Our writer's output must load with real torch.load."""
+    from tpuseg.weights.torch_io import save_torch_file
+
+    state = {
+        "a.weight": rng.standard_normal((4, 3, 2, 2)).astype(np.float32),
+        "b.bias": rng.standard_normal(7).astype(np.float64),
+        "c.step": np.asarray([3], np.int64),
+        "nested": {"d": rng.integers(0, 255, (5,)).astype(np.uint8)},
+    }
+    path = str(tmp_path / "ours.pth")
+    save_torch_file(path, state)
+    loaded = torch.load(path, weights_only=False)
+    np.testing.assert_array_equal(loaded["a.weight"].numpy(), state["a.weight"])
+    np.testing.assert_array_equal(loaded["b.bias"].numpy(), state["b.bias"])
+    np.testing.assert_array_equal(loaded["c.step"].numpy(), state["c.step"])
+    np.testing.assert_array_equal(
+        loaded["nested"]["d"].numpy(), state["nested"]["d"])
+    # and with our own reader too
+    ours = load_torch_file(path)
+    np.testing.assert_array_equal(ours["a.weight"], state["a.weight"])

@@ -47,6 +47,9 @@ class MaskRCNNConfig:
     rpn_nms_thresh: float = 0.7
     rpn_min_size: float = 0.0
     fpn_post_nms_top_n: int = 1000
+    # train-time proposal budget (maskrcnn-benchmark *_TRAIN knobs)
+    rpn_pre_nms_top_n_train: int = 2000
+    fpn_post_nms_top_n_train: int = 2000
     # roi box head
     num_classes: int = 81
     pooler_resolution: int = 7
@@ -400,10 +403,15 @@ def forward_train_losses(
     losses = ML.rpn_loss(
         all_logits, all_deltas, anchors, gt_boxes, gt_valid, k_rpn, loss_cfg)
 
-    # proposals (train-time top-n settings = test settings here; the
-    # reference's 2000-proposal train mode is a config knob)
+    # train-time proposal budget (PRE_NMS_TOP_N_TRAIN / FPN_POST_..._TRAIN)
+    from dataclasses import replace as _replace
+
+    train_cfg = _replace(
+        cfg,
+        rpn_pre_nms_top_n=cfg.rpn_pre_nms_top_n_train,
+        fpn_post_nms_top_n=cfg.fpn_post_nms_top_n_train)
     proposals, p_scores, p_valid = rpn_proposals(
-        logits, deltas, anchors_l, image_hw, cfg, (ch, cw))
+        logits, deltas, anchors_l, image_hw, train_cfg, (ch, cw))
     proposals = jax.lax.stop_gradient(proposals)
 
     keys = jax.random.split(k_roi, b)

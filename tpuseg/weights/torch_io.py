@@ -295,6 +295,122 @@ def load_torch_file(path: str):
             return _Unpickler(f, lambda *a: b"").load()
 
 
+def save_torch_file(path: str, state: dict) -> None:
+    """Write ``{name: ndarray}`` as a torch-zip checkpoint (torch.load-able).
+
+    Completes the interchange loop: checkpoints trained here load back in
+    the reference's torch/Jittor ecosystem. Emits the modern zip format:
+    ``archive/data.pkl`` whose tensors are persistent-id references to raw
+    little-endian storages under ``archive/data/<n>``. Uses the torch
+    classes when torch is importable; otherwise registers inert stand-ins
+    under the ``torch`` module names so the pickle stream carries the same
+    globals.
+    """
+    import io as _io
+    import zipfile
+
+    np_to_storage = {
+        np.dtype("float32"): "FloatStorage",
+        np.dtype("float64"): "DoubleStorage",
+        np.dtype("float16"): "HalfStorage",
+        np.dtype("int64"): "LongStorage",
+        np.dtype("int32"): "IntStorage",
+        np.dtype("int16"): "ShortStorage",
+        np.dtype("int8"): "CharStorage",
+        np.dtype("uint8"): "ByteStorage",
+        np.dtype("bool"): "BoolStorage",
+    }
+    if _BF16 is not None:
+        np_to_storage[_BF16] = "BFloat16Storage"
+
+    try:
+        import torch as _torch
+
+        storage_cls = {n: getattr(_torch, n)
+                       for n in set(np_to_storage.values())}
+        rebuild = _torch._utils._rebuild_tensor_v2
+    except ImportError:  # torch-free: inert globals with the right names
+        import sys
+        import types
+
+        tm = sys.modules.setdefault("torch", types.ModuleType("torch"))
+        um = sys.modules.setdefault(
+            "torch._utils", types.ModuleType("torch._utils"))
+        tm._utils = um
+
+        def _mk(name):
+            cls = getattr(tm, name, None)
+            if cls is None:
+                cls = type(name, (), {})
+                cls.__module__ = "torch"
+                cls.__qualname__ = name
+                setattr(tm, name, cls)
+            return cls
+
+        storage_cls = {n: _mk(n) for n in set(np_to_storage.values())}
+
+        def rebuild(*a):  # placeholder global; never executed here
+            raise RuntimeError("write-only stub")
+
+        rebuild.__module__ = "torch._utils"
+        rebuild.__qualname__ = rebuild.__name__ = "_rebuild_tensor_v2"
+        um._rebuild_tensor_v2 = rebuild
+
+    storages: list[bytes] = []
+
+    class _TensorRef:
+        def __init__(self, arr: np.ndarray):
+            arr = np.ascontiguousarray(arr)
+            self.dtype = arr.dtype
+            self.shape = tuple(int(s) for s in arr.shape)
+            strides = []
+            acc = 1
+            for s in reversed(self.shape):
+                strides.append(acc)
+                acc *= s
+            self.strides = tuple(reversed(strides))
+            self.key = str(len(storages))
+            self.numel = int(arr.size)
+            storages.append(arr.tobytes())
+
+    class _Tensor:
+        # split from _TensorRef: persistent_id is consulted before
+        # __reduce__, so the reducible wrapper must be a different object
+        # than the storage reference
+        def __init__(self, ref):
+            self.ref = ref
+
+        def __reduce__(self):
+            r = self.ref
+            return (rebuild, (r, 0, r.shape, r.strides, False, {}))
+
+    class _ZipPickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, _TensorRef):
+                return ("storage", storage_cls[np_to_storage[obj.dtype]],
+                        obj.key, "cpu", obj.numel)
+            return None
+
+    def convert(tree):
+        if isinstance(tree, dict):
+            return {k: convert(v) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(convert(v) for v in tree)
+        if isinstance(tree, np.ndarray):
+            return _Tensor(_TensorRef(tree))
+        if hasattr(tree, "dtype") and hasattr(tree, "shape"):  # jax arrays
+            return _Tensor(_TensorRef(np.asarray(tree)))
+        return tree
+
+    bio = _io.BytesIO()
+    _ZipPickler(bio, protocol=2).dump(convert(state))
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("archive/data.pkl", bio.getvalue())
+        for i, blob in enumerate(storages):
+            zf.writestr(f"archive/data/{i}", blob)
+        zf.writestr("archive/version", "3\n")
+
+
 def flatten_state_dict(obj, prefix="") -> dict[str, np.ndarray]:
     """Flatten a loaded checkpoint into {dotted_name: array}.
 
