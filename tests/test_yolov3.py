@@ -55,9 +55,8 @@ def test_decode_matches_numpy(rng):
         jnp.asarray(rng.standard_normal((1, 16, 16, 27)).astype(np.float32)),
     ]
     boxes, obj, cls = Y.decode(outs, cfg)
-    scale = cfg.input_size / 416.0
     want_parts = [
-        np_decode_level(np.asarray(o), a, s, cfg.num_classes, scale)
+        np_decode_level(np.asarray(o), a, s, cfg.num_classes, 1.0)
         for o, a, s in zip(outs, Y.ANCHORS, Y.STRIDES)
     ]
     want_boxes = np.concatenate([p[0] for p in want_parts], 1)

@@ -93,10 +93,15 @@ class COCO:
         if len(imgIds) == len(catIds) == 0:
             ids = set(self.imgs.keys())
         else:
-            ids = set(imgIds) if imgIds else set()
+            # pycocotools semantics: seed with imgIds; the first catId seeds
+            # the set only when imgIds was empty, later catIds intersect
+            ids = set(imgIds)
             for i, catId in enumerate(catIds):
                 s = set(self.catToImgs[catId])
-                ids = s if (i == 0 and not ids) else (ids & s if ids else s)
+                if i == 0 and len(ids) == 0:
+                    ids = s
+                else:
+                    ids &= s
         return sorted(ids)
 
     def loadAnns(self, ids=[]):

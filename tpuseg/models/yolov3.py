@@ -7,8 +7,9 @@ per-class NMS. The Jittor port follows the standard YOLOv3 layout
 single statically-shaped jit program: every stage below — preprocess →
 backbone → heads → decode → NMS → top-k — runs on device with padded shapes.
 
-Anchors (pixels, for 416 input — standard COCO yolov3.cfg values, scaled by
-input_size/416 for other sizes):
+Anchors (pixels — the standard COCO yolov3.cfg values; darknet anchors
+are absolute network-input pixels and are NOT rescaled for 608 configs,
+matching the official cfg files):
   stride 32: (116,90) (156,198) (373,326)
   stride 16: (30,61) (62,45) (59,119)
   stride  8: (10,13) (16,30) (33,23)
@@ -93,7 +94,6 @@ def decode(outs: list, cfg: YoloV3Config):
     """Raw head maps -> (boxes_xyxy [B,N,4] in input px, obj [B,N],
     cls_probs [B,N,C]) with N = sum over levels of h*w*3."""
     all_boxes, all_obj, all_cls = [], [], []
-    scale = cfg.input_size / 416.0
     for out, anchors, stride in zip(outs, ANCHORS, STRIDES):
         b, h, w, _ = out.shape
         na = len(anchors)
@@ -103,8 +103,8 @@ def decode(outs: list, cfg: YoloV3Config):
         txy = jax.nn.sigmoid(out[..., 0:2])
         bx = (txy[..., 0] + gx[..., None]) * stride
         by = (txy[..., 1] + gy[..., None]) * stride
-        aw = jnp.asarray([a[0] for a in anchors], jnp.float32) * scale
-        ah = jnp.asarray([a[1] for a in anchors], jnp.float32) * scale
+        aw = jnp.asarray([a[0] for a in anchors], jnp.float32)
+        ah = jnp.asarray([a[1] for a in anchors], jnp.float32)
         bw = jnp.exp(out[..., 2]) * aw
         bh = jnp.exp(out[..., 3]) * ah
         boxes = jnp.stack(

@@ -43,10 +43,9 @@ def build_targets(
     cfg: YoloV3Config,
 ):
     """-> per level: (tconf [HWA], txywh [HWA,4], tcls [HWA], assigned [HWA])."""
-    scale = cfg.input_size / 416.0
     anchors_all = jnp.asarray(
-        [[aw * scale, ah * scale] for lvl in ANCHORS for (aw, ah) in lvl],
-        jnp.float32)  # [9, 2] in px, level-major (32, 16, 8)
+        [[aw, ah] for lvl in ANCHORS for (aw, ah) in lvl],
+        jnp.float32)  # [9, 2] absolute px, level-major (32, 16, 8)
     g = gt_boxes.shape[0]
     valid = gt_classes >= 0
     cxy = (gt_boxes[:, :2] + gt_boxes[:, 2:]) * 0.5
