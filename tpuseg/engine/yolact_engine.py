@@ -119,17 +119,34 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
     t_infer = 0.0
     n_done = 0
     loader = None
+    prefetcher = None
     if use_native_loader:
+        from concurrent.futures import ThreadPoolExecutor
+
         from tpuseg.data.native_loader import NativeImageLoader
 
         loader = NativeImageLoader()
-    for start in range(0, len(ids), bs):
-        chunk = ids[start:start + bs]
-        if loader is not None:
+        prefetcher = ThreadPoolExecutor(1)
+
+        def load_chunk(chunk):
             paths = [dataset.image_path(iid) for iid in chunk]
             batch, hw = loader.load_batch(paths, cfg.img_size, cfg.img_size)
             metas = [(iid, int(hw[i, 0]), int(hw[i, 1]))
                      for i, iid in enumerate(chunk)]
+            return batch, metas
+
+        chunks = [ids[s:s + bs] for s in range(0, len(ids), bs)]
+        # pipeline: next chunk decodes on the loader pool while the device
+        # runs the current one (the input-side half of the north star's
+        # fused preprocessing stage)
+        pending = prefetcher.submit(load_chunk, chunks[0]) if chunks else None
+    for start in range(0, len(ids), bs):
+        chunk = ids[start:start + bs]
+        if loader is not None:
+            batch, metas = pending.result()
+            nxt = start // bs + 1
+            pending = (prefetcher.submit(load_chunk, chunks[nxt])
+                       if nxt < len(chunks) else None)
         else:
             imgs = []
             metas = []
