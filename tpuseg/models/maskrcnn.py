@@ -222,11 +222,8 @@ def rpn_proposals(
         valid = top_valid & nonempty
         scores = jnp.take_along_axis(obj, idx, axis=1)
 
-        def nms_one(bx, sc, va):
-            keep = nms_ops.nms_mask(bx, sc, cfg.rpn_nms_thresh, valid=va)
-            return keep
-
-        keep = jax.vmap(nms_one)(boxes, scores, valid)
+        keep = nms_ops.nms_mask_batch(
+            boxes, scores, cfg.rpn_nms_thresh, valid=valid)
         lvl_boxes.append(boxes)
         lvl_scores.append(jnp.where(keep, scores, 0.0))
         lvl_valid.append(keep)
@@ -309,7 +306,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     scores = jax.nn.softmax(cls_logits, -1).reshape(b, p, cfg.num_classes)
     box_deltas = box_deltas.reshape(b, p, cfg.num_classes * 4)
 
-    def per_image(props, props_valid, sc, dl, hw):
+    def per_image_cands(props, props_valid, sc, dl, hw):
         # class-specific decode (skip background col 0)
         decoded = box_ops.decode_boxes(
             dl, props, weights=cfg.box_reg_weights)  # [P, 81*4]
@@ -328,16 +325,21 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         top_s, sel, sel_valid = box_ops.masked_topk(
             flat_s, cand_valid.reshape(-1), cfg.pre_final_nms_topk,
             approx=cfg.approx_topk)
-        cboxes = flat_b[sel]
-        cclasses = flat_c[sel]
-        keep = nms_ops.batched_nms_mask(
-            cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
-        fin_s, fidx, fvalid = box_ops.masked_topk(
-            jnp.where(keep, top_s, -jnp.inf), keep, cfg.detections_per_img)
-        return cboxes[fidx], jnp.where(fvalid, fin_s, 0.0), cclasses[fidx], fvalid
+        return flat_b[sel], top_s, flat_c[sel], sel_valid
 
-    det_boxes, det_scores, det_classes, det_valid = jax.vmap(per_image)(
+    cboxes, top_s, cclasses, sel_valid = jax.vmap(per_image_cands)(
         proposals, p_valid, scores, box_deltas, image_hw)
+    # class-aware NMS across the batch in one kernel (vmap-free)
+    keep = nms_ops.batched_nms_mask_batch(
+        cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
+
+    def per_image_final(cb, ts, cc, kp):
+        fin_s, fidx, fvalid = box_ops.masked_topk(
+            jnp.where(kp, ts, -jnp.inf), kp, cfg.detections_per_img)
+        return cb[fidx], jnp.where(fvalid, fin_s, 0.0), cc[fidx], fvalid
+
+    det_boxes, det_scores, det_classes, det_valid = jax.vmap(
+        per_image_final)(cboxes, top_s, cclasses, keep)
 
     # ---- mask head on the detections
     d = cfg.detections_per_img

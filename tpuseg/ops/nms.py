@@ -154,6 +154,35 @@ def nms_topk(
     return boxes[idx], jnp.where(sel_valid, sel_scores, 0.0), idx, sel_valid
 
 
+def nms_mask_batch(boxes, scores, iou_threshold, valid=None,
+                   use_pallas: bool | None = None):
+    """Per-image NMS over a batch: [B, N, 4]/[B, N] -> keep [B, N].
+
+    On TPU this is ONE Pallas kernel launch for the whole batch
+    (ops/pallas/nms_pl.py); elsewhere a vmap of the jnp tiled NMS.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from tpuseg.ops.pallas.nms_pl import nms_mask_pallas_batched
+
+        return nms_mask_pallas_batched(boxes, scores, iou_threshold, valid)
+    if valid is None:
+        valid = jnp.ones(scores.shape, bool)
+    return jax.vmap(
+        lambda b, s, v: nms_mask(b, s, iou_threshold, valid=v)
+    )(boxes, scores, valid)
+
+
+def batched_nms_mask_batch(boxes, scores, class_ids, iou_threshold,
+                           valid=None, use_pallas: bool | None = None):
+    """Class-aware per-image NMS over a batch (coordinate-offset trick)."""
+    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
+    offsets = class_ids.astype(boxes.dtype) * (2.0 * max_coord)
+    return nms_mask_batch(boxes + offsets[..., None], scores, iou_threshold,
+                          valid=valid, use_pallas=use_pallas)
+
+
 def batched_nms_mask(
     boxes: jax.Array,
     scores: jax.Array,
