@@ -134,3 +134,20 @@ def test_maskrcnn_evaluate_coco_oracle(tmp_path):
     stats = ME.evaluate_coco(Oracle(), ds, progress=False)
     assert stats["bbox"][0] > 0.99
     assert stats["segm"][0] > 0.99
+
+
+def test_evaluate_dataset_coco_json(tmp_path):
+    """--output_coco_json path: dumps jsons and runs the COCOeval clone."""
+    img_dir, ann = _write_synth_dataset(str(tmp_path))
+    ds = CocoDetectionDataset(img_dir, ann, label_map={1: 1, 2: 2})
+    cfg = Y.YolactConfig(img_size=128, num_classes=3, nms_top_k=16,
+                         max_num_detections=10)
+    pred = YolactPredictor(cfg, batch_size=2)
+    out_prefix = str(tmp_path / "res")
+    evaluate_dataset(pred, ds, progress=False, output_coco_json=out_prefix)
+    import json, os
+
+    assert os.path.exists(out_prefix + "_bbox.json")
+    assert os.path.exists(out_prefix + "_mask.json")
+    data = json.load(open(out_prefix + "_mask.json"))
+    assert isinstance(data, list)

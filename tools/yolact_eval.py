@@ -110,7 +110,9 @@ def main():
     info = args.valid_info or ds_cfg.valid_info
     dataset = CocoDetectionDataset(images, info)
     evaluate_dataset(predictor, dataset, max_images=args.max_images,
-                     score_threshold=args.score_threshold)
+                     score_threshold=args.score_threshold,
+                     output_coco_json=("results/yolact"
+                                       if args.output_coco_json else None))
 
 
 if __name__ == "__main__":

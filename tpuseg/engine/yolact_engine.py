@@ -106,8 +106,14 @@ def resize_to_square(img_rgb: np.ndarray, size: int) -> np.ndarray:
 
 def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
                      score_threshold: float = 0.0, progress=True,
-                     use_native_loader: bool = True):
-    """Full-val mAP table (eval.py no-image-args mode). Returns all_maps."""
+                     use_native_loader: bool = True,
+                     output_coco_json: str | None = None):
+    """Full-val mAP table (eval.py no-image-args mode). Returns all_maps.
+
+    With ``output_coco_json``, also dumps COCO-format results to
+    ``<path>_{bbox,mask}.json`` and runs the COCOeval clone on them
+    (eval.py --output_coco_json parity).
+    """
     from tpuseg.eval.yolact_map import calc_map, make_ap_data, prep_metrics, print_maps
 
     cfg = predictor.cfg
@@ -118,6 +124,10 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
     ap_data = make_ap_data(cfg.num_classes - 1)
     t_infer = 0.0
     n_done = 0
+    coco_results = [] if output_coco_json is not None else None
+    label_map_inv = (
+        {v: k for k, v in dataset.label_map.items()}
+        if getattr(dataset, "label_map", None) else {})
     loader = None
     prefetcher = None
     if use_native_loader:
@@ -165,6 +175,9 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
             final = predictor.postprocess_image(det_i, h, w, score_threshold)
             gt = dataset.load_target(iid)
             prep_metrics(ap_data, final, gt)
+            if coco_results is not None:
+                coco_results.extend(
+                    detections_to_coco_json(final, iid, label_map_inv))
             n_done += 1
         if progress:
             print(f"\r{n_done}/{len(ids)} images "
@@ -174,6 +187,25 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
         print()
     all_maps = calc_map(ap_data, cfg.num_classes - 1)
     print_maps(all_maps)
+    if coco_results is not None:
+        import json
+
+        from tpuseg.eval.cocoeval import COCOeval
+
+        bbox_res = [
+            {k: v for k, v in r.items() if k != "segmentation"}
+            for r in coco_results
+        ]
+        with open(f"{output_coco_json}_bbox.json", "w") as f:
+            json.dump(bbox_res, f)
+        with open(f"{output_coco_json}_mask.json", "w") as f:
+            json.dump(coco_results, f)
+        for iou_type, res in (("bbox", bbox_res), ("segm", coco_results)):
+            print(f"== COCOeval {iou_type} ==")
+            E = COCOeval(dataset.coco, dataset.coco.loadRes(res), iou_type)
+            E.evaluate()
+            E.accumulate()
+            E.summarize()
     return all_maps
 
 
