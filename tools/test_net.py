@@ -14,6 +14,7 @@ def main():
     ap.add_argument("--images", default=None, help="COCO val image dir")
     ap.add_argument("--annotations", default=None, help="instances json")
     ap.add_argument("--max_images", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("opts", nargs=argparse.REMAINDER,
                     help="dotted config overrides, e.g. MODEL.WEIGHT path")
     args = ap.parse_args()
@@ -37,7 +38,8 @@ def main():
     )
     dataset = CocoDetectionDataset(
         cfg.DATASETS.IMAGES, cfg.DATASETS.ANNOTATIONS, label_map=None)
-    evaluate_coco(predictor, dataset, max_images=args.max_images)
+    evaluate_coco(predictor, dataset, max_images=args.max_images,
+                  batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

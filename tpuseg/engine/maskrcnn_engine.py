@@ -79,24 +79,39 @@ class MaskRCNNPredictor:
 
     def run_on_bgr_image(self, img_bgr: np.ndarray) -> dict:
         """Single image -> final detections in original-image coords."""
-        canvas, (th, tw), scale = preprocess_image_bgr(
-            img_bgr, self.min_image_size)
-        run = self._run_for(canvas.shape[:2])
-        out = run(self.params, jnp.asarray(canvas)[None],
-                  jnp.asarray([[th, tw]], jnp.int32))
-        out = {k: np.asarray(v)[0] for k, v in out.items()}
-        h, w = img_bgr.shape[:2]
-        valid = out["valid"] & (out["scores"] >= 0.0)
-        boxes = out["boxes"][valid] / scale
-        boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w - 1)
-        boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h - 1)
-        masks = paste_masks(out["masks"][valid], boxes, h, w)
-        return {
-            "boxes": boxes,
-            "scores": out["scores"][valid],
-            "classes": out["classes"][valid],
-            "masks": masks,
-        }
+        return self.run_on_bgr_images([img_bgr])[0]
+
+    def run_on_bgr_images(self, imgs_bgr: list) -> list:
+        """Batched inference: images must share orientation (the engine's
+        eval loop buckets by orientation); one jit dispatch per call."""
+        canvases, hws, scales = [], [], []
+        for img in imgs_bgr:
+            canvas, (th, tw), scale = preprocess_image_bgr(
+                img, self.min_image_size)
+            canvases.append(canvas)
+            hws.append((th, tw))
+            scales.append(scale)
+        shapes = {c.shape for c in canvases}
+        assert len(shapes) == 1, "batch must share one canvas orientation"
+        run = self._run_for(canvases[0].shape[:2])
+        out = run(self.params, jnp.asarray(np.stack(canvases)),
+                  jnp.asarray(hws, jnp.int32))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for i, img in enumerate(imgs_bgr):
+            h, w = img.shape[:2]
+            valid = out["valid"][i]
+            boxes = out["boxes"][i][valid] / scales[i]
+            boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w - 1)
+            boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h - 1)
+            masks = paste_masks(out["masks"][i][valid], boxes, h, w)
+            results.append({
+                "boxes": boxes,
+                "scores": out["scores"][i][valid],
+                "classes": out["classes"][i][valid],
+                "masks": masks,
+            })
+        return results
 
     def select_top_predictions(self, preds: dict) -> dict:
         keep = preds["scores"] >= self.confidence_threshold
@@ -171,8 +186,12 @@ COCO_CATEGORY_IDS = [
 
 
 def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
-                  progress=True):
-    """Run COCO bbox+segm eval via our COCOeval clone. Returns stats dict."""
+                  progress=True, batch_size: int = 1):
+    """Run COCO bbox+segm eval via our COCOeval clone. Returns stats dict.
+
+    ``batch_size`` > 1 buckets images by orientation (each bucket shares a
+    canvas) and runs one jit dispatch per bucket batch.
+    """
     import time
 
     from tpuseg.eval import rle as rle_mod
@@ -183,22 +202,44 @@ def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
         ids = ids[:max_images]
     results = []
     t0 = time.perf_counter()
-    for n, iid in enumerate(ids, 1):
-        img_rgb = dataset.load_image(iid)
-        preds = predictor.run_on_bgr_image(img_rgb[:, :, ::-1])
-        for i in range(len(preds["scores"])):
-            x1, y1, x2, y2 = preds["boxes"][i]
-            results.append({
-                "image_id": int(iid),
-                "category_id": COCO_CATEGORY_IDS[int(preds["classes"][i])],
-                "bbox": [float(x1), float(y1), float(x2 - x1 + 1),
-                         float(y2 - y1 + 1)],
-                "score": float(preds["scores"][i]),
-                "segmentation": rle_mod.encode(preds["masks"][i]),
-            })
-        if progress and n % 20 == 0:
-            print(f"\r{n}/{len(ids)} ({n / (time.perf_counter() - t0):.2f} img/s)",
-                  end="", flush=True)
+    n = 0
+
+    def consume(batch_ids):
+        nonlocal n
+        imgs = [dataset.load_image(i)[:, :, ::-1] for i in batch_ids]
+        if len(imgs) == 1:  # single-image path (also duck-typed oracles)
+            preds_list = [predictor.run_on_bgr_image(imgs[0])]
+        else:
+            preds_list = predictor.run_on_bgr_images(imgs)
+        for iid, preds in zip(batch_ids, preds_list):
+            for i in range(len(preds["scores"])):
+                x1, y1, x2, y2 = preds["boxes"][i]
+                results.append({
+                    "image_id": int(iid),
+                    "category_id": COCO_CATEGORY_IDS[int(preds["classes"][i])],
+                    "bbox": [float(x1), float(y1), float(x2 - x1 + 1),
+                             float(y2 - y1 + 1)],
+                    "score": float(preds["scores"][i]),
+                    "segmentation": rle_mod.encode(preds["masks"][i]),
+                })
+            n += 1
+            if progress and n % 20 == 0:
+                print(
+                    f"\r{n}/{len(ids)} "
+                    f"({n / (time.perf_counter() - t0):.2f} img/s)",
+                    end="", flush=True)
+
+    buckets: dict[bool, list] = {True: [], False: []}
+    for iid in ids:
+        info = dataset.coco.imgs[iid]
+        landscape = info["width"] >= info["height"]
+        buckets[landscape].append(iid)
+        if len(buckets[landscape]) == batch_size:
+            consume(buckets[landscape])
+            buckets[landscape] = []
+    for rest in buckets.values():
+        for iid in rest:  # leftovers run singly (different pad would skew)
+            consume([iid])
     if progress:
         print()
     stats = {}
