@@ -18,6 +18,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devs)} devices visible; "
+                "refusing to silently under-provision the mesh"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     assert n % model_parallel == 0
