@@ -64,3 +64,38 @@ def test_differentiable_pooler_grads_match_jnp(rng):
     for a, b in zip(g_pl, g_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_extreme_aspect_boxes_clamp_to_fitting_level(rng):
+    """A high-aspect RoI whose extent overflows its canonical level's DMA
+    window must pool from a coarser level, not zero-dilute (ADVICE r1 high).
+    Both paths (Pallas, jnp) must agree after the shared clamp."""
+    from tpuseg.ops.pallas.roi_align_pl import clamp_levels_to_window
+
+    feats, strides, _, _, _ = _setup(rng, n=4)
+    # 4 pathological boxes: wide, tall, huge at fine level, normal control
+    boxes = jnp.asarray(np.array([
+        [4.0, 100.0, 252.0, 112.0],   # 248x12 px -> canonical lvl 0, 62 cells
+        [100.0, 4.0, 118.0, 250.0],   # 18x246 px -> tall version
+        [0.0, 0.0, 255.0, 255.0],     # whole image
+        [40.0, 40.0, 90.0, 96.0],     # normal box, must NOT be clamped
+    ], np.float32))
+    bi = jnp.asarray(np.zeros(4, np.int32))
+    from tpuseg.models.maskrcnn import assign_levels
+    raw = assign_levels(boxes)
+    clamped = clamp_levels_to_window(feats, boxes, raw, strides,
+                                     rows=32, span=32)
+    raw_np, cl_np = np.asarray(raw), np.asarray(clamped)
+    assert cl_np[0] > raw_np[0], (raw_np, cl_np)  # wide box bumped up
+    assert cl_np[3] == raw_np[3], (raw_np, cl_np)  # control untouched
+    assert np.all(cl_np >= raw_np)
+
+    want = np.asarray(S.multilevel_roi_align(
+        feats, boxes, bi, clamped, output_size=7, sampling_ratio=2,
+        strides=strides))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats, boxes, bi, raw, output_size=7, sampling_ratio=2,
+        strides=strides, rows=32, span=32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # sanity: output is not zero-diluted
+    assert np.all(np.abs(got).mean(axis=(1, 2, 3)) > 1e-3)

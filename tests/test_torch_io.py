@@ -105,3 +105,44 @@ def test_save_torch_file_loads_in_torch(tmp_path, rng):
     # and with our own reader too
     ours = load_torch_file(path)
     np.testing.assert_array_equal(ours["a.weight"], state["a.weight"])
+
+
+def test_malicious_pickle_is_inert(tmp_path):
+    import pickle
+    """A crafted checkpoint must not reach builtins.eval/exec or os.system.
+
+    torch_io treats zoo checkpoints as untrusted; find_class must resolve
+    only an allowlist of globals and stub everything else (ADVICE r1 high).
+    """
+    import pickletools
+
+    class Evil:
+        def __reduce__(self):
+            return (eval, ("__import__('os').system('echo pwned')",))
+
+    path = str(tmp_path / "evil.pkl")
+    with open(path, "wb") as f:
+        pickle.dump({"payload": Evil(), "w": np.ones(3, np.float32)}, f)
+    # sanity: the stream really does reference builtins.eval
+    ops = [(op.name, arg) for op, arg, _ in pickletools.genops(open(path, "rb").read())]
+    assert any("eval" in str(a) for _, a in ops)
+
+    loaded = load_torch_file(path)
+    # the evil global resolved to an inert stub instance, not an executed call
+    assert type(loaded["payload"]).__name__ == "eval"
+    np.testing.assert_array_equal(loaded["w"], np.ones(3, np.float32))
+
+
+def test_os_system_pickle_is_inert(tmp_path):
+    import os
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned",))
+
+    path = str(tmp_path / "evil2.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(Evil(), f)
+    loaded = load_torch_file(path)
+    assert type(loaded).__name__ == "system"

@@ -256,7 +256,13 @@ def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
     (detectron Pooler semantics). On TPU the Pallas kernel
     (ops/pallas/roi_align_pl.py — 2.5x the XLA gather) is used; elsewhere
     the fused-gather jnp version."""
+    from tpuseg.ops.pallas.roi_align_pl import clamp_levels_to_window
+
     levels = assign_levels(boxes)
+    # high-aspect boxes whose extent overflows the Pallas DMA window pool
+    # from the next coarser level; applied on BOTH paths so they agree
+    levels = clamp_levels_to_window(
+        tuple(feats), boxes, levels, tuple(strides))
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:

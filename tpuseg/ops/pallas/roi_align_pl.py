@@ -176,6 +176,69 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
     return kernel
 
 
+def _window_bounds(feats, rows: int, span: int):
+    """Static per-level DMA window bounds + sublane alignment for a pyramid."""
+    align = 32 // jnp.dtype(feats[0].dtype).itemsize
+    shapes_pad = [
+        (f.shape[1], f.shape[2] + (-f.shape[2]) % align) for f in feats
+    ]
+    n_lv = len(feats)
+    lv_rows_b = tuple(
+        (rows if li == n_lv - 1 else min(32, rows)) for li in range(n_lv))
+    lv_span_b = tuple(
+        (span if li == n_lv - 1 else min(32 + align, span))
+        for li in range(n_lv))
+    return align, shapes_pad, lv_rows_b, lv_span_b
+
+
+def clamp_levels_to_window(
+    feats: tuple,
+    boxes: jax.Array,
+    levels: jax.Array,
+    strides: tuple = (4, 8, 16, 32),
+    rows: int = 44,
+    span: int = 64,
+) -> jax.Array:
+    """Bump a box to a coarser level when its extent + bilinear halo would
+    not fit that level's static DMA window.
+
+    The canonical sqrt(area) FPN rule (maskrcnn-benchmark LevelMapper) does
+    not bound max(w, h): a 1333x40 box lands on stride-16 P4 needing ~85
+    columns, beyond the fixed window — samples past it would pool as zeros.
+    Each level up halves the extent, and the top level's window covers its
+    whole map for canvases up to ~1400 px, so a fitting level always exists.
+    Applied identically on the Pallas and jnp paths so they agree.
+    """
+    n_lv = len(feats)
+    align, shapes_pad, lv_rows_b, lv_span_b = _window_bounds(feats, rows, span)
+
+    # exact per-level fit test: recompute the window start the kernel would
+    # use (incl. clipping + column alignment) and the last row/col any
+    # bilinear corner can touch; fits iff that range is inside the window
+    fits = []
+    for li in range(n_lv):
+        h_l = feats[li].shape[1]
+        w_true = feats[li].shape[2]
+        w_pad = shapes_pad[li][1]
+        rl = min(rows, h_l, lv_rows_b[li])
+        sl = min(span, w_pad, lv_span_b[li])
+        scale = 1.0 / strides[li]
+        x1 = boxes[:, 0].astype(jnp.float32) * scale
+        y1 = boxes[:, 1].astype(jnp.float32) * scale
+        x2e = x1 + jnp.maximum(boxes[:, 2].astype(jnp.float32) * scale - x1, 1.0)
+        y2e = y1 + jnp.maximum(boxes[:, 3].astype(jnp.float32) * scale - y1, 1.0)
+        r0 = jnp.clip(jnp.floor(y1).astype(jnp.int32) - 1, 0, max(h_l - rl, 0))
+        c0 = jnp.clip(jnp.floor(x1).astype(jnp.int32) - 1, 0, max(w_pad - sl, 0))
+        c0 = (c0 // align) * align
+        rmax = jnp.minimum(jnp.floor(y2e).astype(jnp.int32) + 1, h_l - 1)
+        cmax = jnp.minimum(jnp.floor(x2e).astype(jnp.int32) + 1, w_true - 1)
+        fits.append((rmax - r0 + 1 <= rl) & (cmax - c0 + 1 <= sl))
+    fits = jnp.stack(fits, axis=1)  # [N, L]
+    li = jnp.arange(n_lv)
+    cand = jnp.where(fits & (li[None, :] >= levels[:, None]), li[None, :], n_lv)
+    return jnp.minimum(jnp.min(cand, axis=1), n_lv - 1).astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=16)
 def make_differentiable_pooler(output_size: int, sampling_ratio: int,
                                strides: tuple, interpret: bool = False):
@@ -240,6 +303,10 @@ def multilevel_roi_align_pallas(
     n = boxes.shape[0]
     p = output_size
     s = sampling_ratio
+    # safety: a box whose extent would overflow its level's DMA window is
+    # pooled from the next coarser level instead of silently zero-padding
+    levels = clamp_levels_to_window(feats, boxes, levels.astype(jnp.int32),
+                                    strides, rows, span)
     # sublane alignment depends on dtype: 8 (f32), 16 (bf16), 32 (int8)
     align = 32 // jnp.dtype(feats[0].dtype).itemsize
     feats_p = tuple(
@@ -261,15 +328,10 @@ def multilevel_roi_align_pallas(
     roi_w = jnp.maximum(x2 - x1, 1.0)
     roi_h = jnp.maximum(y2 - y1, 1.0)
 
-    # per-level window bounds: levels below the clamped top hold rois of
-    # extent <= 2 * canonical_scale / stride + halo (= 30 cells for the
-    # standard 224/4 rule); the top level is unbounded up to its map.
-    n_lv = len(feats)
-    lv_rows_b = tuple(
-        (rows if li == n_lv - 1 else min(32, rows)) for li in range(n_lv))
-    lv_span_b = tuple(
-        (span if li == n_lv - 1 else min(32 + align, span))
-        for li in range(n_lv))
+    # per-level window bounds: clamp_levels_to_window above guarantees every
+    # box's extent + halo fits its level's window, so levels below the top
+    # can use smaller (cheaper) DMA windows.
+    _, _, lv_rows_b, lv_span_b = _window_bounds(feats, rows, span)
     rows_per_box = jnp.asarray(
         [min(r, h) for r, (h, _) in zip(lv_rows_b, shapes_pad)],
         jnp.int32)[levels]

@@ -141,6 +141,49 @@ def _rebuild_from_type_v2(func, new_type, args, state):
     return func(*args)
 
 
+# Checkpoints are untrusted input (zoo downloads). The default pickle
+# resolver can reach builtins.eval/exec via REDUCE, so only these exact
+# globals are ever resolved for real; everything else becomes an inert stub.
+_SAFE_BUILTINS = frozenset({
+    "set", "frozenset", "complex", "bytearray", "slice", "range",
+    "list", "dict", "tuple", "bytes", "str", "int", "float", "bool",
+})
+_SAFE_NUMPY_MODULES = frozenset({
+    "numpy", "numpy.core.multiarray", "numpy._core.multiarray",
+    "numpy.core.numeric", "numpy._core.numeric",
+})
+_SAFE_NUMPY_NAMES = frozenset({
+    "_reconstruct", "ndarray", "dtype", "scalar", "_frombuffer",
+    "bool_", "float32", "float64", "int32", "int64",
+})
+
+
+def _inert_stub(name: str):
+    """A do-nothing class for any unrecognized pickle global.
+
+    Accepts arbitrary constructor args / setstate / calls so REDUCE opcodes
+    on it succeed structurally without executing anything.
+    """
+    return type(name, (), {
+        "__init__": lambda self, *a, **k: None,
+        "__setstate__": lambda self, state: None,
+        "__call__": lambda self, *a, **k: None,
+    })
+
+
+class _MetaUnpickler(pickle.Unpickler):
+    """For the legacy-format header pickles (magic/protocol/sys_info/keys):
+    pure data only — resolving ANY global is refused."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"global {module}.{name} not allowed in torch legacy header")
+
+
+def _meta_load(f):
+    return _MetaUnpickler(f, encoding="latin1").load()
+
+
 class _Unpickler(pickle.Unpickler):
     """Unpickler that stubs torch globals and resolves storages lazily."""
 
@@ -170,17 +213,17 @@ class _Unpickler(pickle.Unpickler):
             if name in ("Tensor", "Parameter", "device"):
                 return lambda *a, **k: None
             # any other torch global: inert placeholder type
-            return type(name, (), {"__setstate__": lambda s, st: None})
+            return _inert_stub(name)
         if module == "collections" and name == "OrderedDict":
             return _AttrDict  # plain dict that tolerates ._metadata etc.
-        if module in ("numpy", "numpy.core.multiarray", "numpy._core.multiarray"):
+        if module in _SAFE_NUMPY_MODULES and name in _SAFE_NUMPY_NAMES:
             return super().find_class(module, name)
-        if module == "builtins":
+        if module == "builtins" and name in _SAFE_BUILTINS:
             return super().find_class(module, name)
         if module == "argparse" or name == "Namespace":
-            return type("Namespace", (), {})
+            return _inert_stub("Namespace")
         # unknown module: inert stub (never execute checkpoint code)
-        return type(name, (), {"__setstate__": lambda s, st: None})
+        return _inert_stub(name)
 
     def persistent_load(self, pid):
         assert isinstance(pid, tuple) and pid[0] == "storage", pid
@@ -243,15 +286,15 @@ class _LegacyUnpickler(_Unpickler):
 
 
 def _load_legacy(f) -> object:
-    magic = pickle.load(f)
+    magic = _meta_load(f)
     if magic != _LEGACY_MAGIC:
         raise ValueError("not a legacy torch file")
-    pickle.load(f)  # protocol version
-    pickle.load(f)  # sys info
+    _meta_load(f)  # protocol version
+    _meta_load(f)  # sys info
     storages: dict[str, _Storage] = {}
     up = _LegacyUnpickler(f, storages)
     result = up.load()
-    keys = pickle.load(f, encoding="latin1")
+    keys = _meta_load(f)
     for key in keys:
         (numel,) = struct.unpack("<q", f.read(8))
         st = storages[str(key)]
