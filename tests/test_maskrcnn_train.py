@@ -11,8 +11,8 @@ def test_matcher_semantics():
     gv = jnp.asarray([True, True])
     anchors = jnp.asarray([
         [0, 0, 10, 10],     # iou 1.0 with gt0 -> fg
-        [0, 0, 20, 20],     # iou .25 gt0 -> below low -> bg
-        [1, 1, 11, 11],     # iou ~.68 -> between -> ignore
+        [0, 0, 20, 20],     # iou .27 gt0 (+1 extents) -> below low -> bg
+        [2, 2, 12, 12],     # iou .50 (+1 extents) -> between -> ignore
         [100, 100, 110, 110],  # iou 0 -> bg
     ], jnp.float32)
     midx, label = ML.match_targets(gt, gv, anchors, 0.7, 0.3, False)
@@ -101,3 +101,27 @@ def test_forward_train_losses(rng):
     )(params)
     gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(grads))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_rpn_loss_straddle_masking():
+    """Anchors straddling the real image border (or over the padded canvas)
+    must never be sampled (STRADDLE_THRESH=0; ADVICE r1 medium)."""
+    anchors = jnp.asarray([
+        [0, 0, 10, 10],      # inside
+        [-2, 0, 8, 10],      # straddles left edge -> ignored
+        [90, 90, 105, 105],  # crosses real image border (100) -> ignored
+        [150, 150, 160, 160],  # fully in padded canvas -> ignored
+    ], jnp.float32)
+    gt = jnp.asarray([[[0, 0, 10, 10]]], jnp.float32)
+    gv = jnp.asarray([[True]])
+    hw = jnp.asarray([[100, 100]], jnp.int32)
+    cfg = ML.MaskRCNNLossConfig(rpn_batch_per_image=4)
+    obj = jnp.full((1, 4), 5.0)  # confident positive logits everywhere
+    dl = jnp.zeros((1, 4, 4))
+    k = jax.random.PRNGKey(0)
+    with_mask = ML.rpn_loss(obj, dl, anchors, gt, gv, k, cfg, image_hw=hw)
+    # only anchor 0 is visible; it's fg with logit 5 -> tiny objectness loss
+    assert float(with_mask["loss_objectness"]) < 0.05
+    without = ML.rpn_loss(obj, dl, anchors, gt, gv, k, cfg, image_hw=None)
+    # unmasked: 3 bg anchors with logit 5 dominate -> large loss
+    assert float(without["loss_objectness"]) > 1.0

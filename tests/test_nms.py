@@ -120,3 +120,36 @@ def test_fast_nms_matches_numpy(rng):
         np.testing.assert_array_equal(np.asarray(idx)[ci], order)
         np.testing.assert_array_equal(np.asarray(keep)[ci], gkeep)
         np.testing.assert_allclose(np.asarray(cs)[ci], gscores, rtol=1e-6)
+
+
+def test_nms_to_remove_extents(rng):
+    """detectron nms.cu uses +1 extents (TO_REMOVE=1): small adjacent boxes
+    suppress differently than with exclusive corners."""
+    import jax.numpy as jnp
+
+    from tpuseg.core import boxes as box_ops
+    from tpuseg.ops.nms import nms_mask, nms_mask_reference
+
+    # two 3px boxes overlapping by 2px each axis: exclusive IoU = 4/14 ~ .29,
+    # +1-extent IoU = 9/23 ~ .39 -> at threshold 0.35 they disagree
+    boxes = jnp.asarray([[0, 0, 3, 3], [1, 1, 4, 4]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8], jnp.float32)
+    iou_ex = float(box_ops.iou_matrix(boxes[:1], boxes[1:])[0, 0])
+    iou_p1 = float(box_ops.iou_matrix(boxes[:1], boxes[1:], to_remove=1.0)[0, 0])
+    assert iou_ex < 0.35 < iou_p1
+    keep_ex = np.asarray(nms_mask(boxes, scores, 0.35))
+    keep_p1 = np.asarray(nms_mask(boxes, scores, 0.35, to_remove=1.0))
+    assert list(keep_ex) == [True, True]
+    assert list(keep_p1) == [True, False]
+    ref_p1 = np.asarray(nms_mask_reference(boxes, scores, 0.35, to_remove=1.0))
+    assert list(ref_p1) == [True, False]
+
+    # larger random check: tiled == sequential golden under to_remove=1
+    n = 300
+    b = rng.uniform(0, 50, (n, 2)).astype(np.float32)
+    wh = rng.uniform(1, 20, (n, 2)).astype(np.float32)
+    bx = jnp.asarray(np.concatenate([b, b + wh], 1))
+    sc = jnp.asarray(rng.uniform(size=n).astype(np.float32))
+    got = np.asarray(nms_mask(bx, sc, 0.5, to_remove=1.0))
+    want = np.asarray(nms_mask_reference(bx, sc, 0.5, to_remove=1.0))
+    np.testing.assert_array_equal(got, want)

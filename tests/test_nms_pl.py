@@ -49,3 +49,21 @@ def test_pallas_nms_batched(rng):
             jnp.asarray(boxes[i]), jnp.asarray(scores[i]), 0.5,
             jnp.asarray(valid[i])))
         np.testing.assert_array_equal(got[i], want, err_msg=f"b={i}")
+
+
+def test_pallas_nms_to_remove_matches_reference(rng):
+    import jax.numpy as jnp
+
+    from tpuseg.ops.nms import nms_mask_reference
+    from tpuseg.ops.pallas.nms_pl import nms_mask_pallas_batched
+
+    n = 256
+    b = rng.uniform(0, 50, (2, n, 2)).astype(np.float32)
+    wh = rng.uniform(1, 20, (2, n, 2)).astype(np.float32)
+    bx = jnp.asarray(np.concatenate([b, b + wh], -1))
+    sc = jnp.asarray(rng.uniform(size=(2, n)).astype(np.float32))
+    got = np.asarray(nms_mask_pallas_batched(
+        bx, sc, 0.5, interpret=True, to_remove=1.0))
+    for i in range(2):
+        want = np.asarray(nms_mask_reference(bx[i], sc[i], 0.5, to_remove=1.0))
+        np.testing.assert_array_equal(got[i], want)

@@ -47,29 +47,38 @@ def cxcywh_to_xyxy(boxes: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def area(boxes: jax.Array) -> jax.Array:
-    """Area of xyxy boxes; negative extents clamp to zero."""
-    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
-    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+def area(boxes: jax.Array, to_remove: float = 0.0) -> jax.Array:
+    """Area of xyxy boxes; negative extents clamp to zero.
+
+    ``to_remove=1.0`` reproduces detectron's +1-extent convention
+    (maskrcnn-benchmark BoxList.area / nms.cu TO_REMOVE=1); the default 0
+    is the exclusive-corner form (yolact jaccard, yolo).
+    """
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0] + to_remove, 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1] + to_remove, 0.0)
     return w * h
 
 
-def pairwise_intersection(a: jax.Array, b: jax.Array) -> jax.Array:
+def pairwise_intersection(a: jax.Array, b: jax.Array,
+                          to_remove: float = 0.0) -> jax.Array:
     """[..., N, 4] x [..., M, 4] -> [..., N, M] intersection areas."""
     lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
     rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt, 0.0)
+    wh = jnp.maximum(rb - lt + to_remove, 0.0)
     return wh[..., 0] * wh[..., 1]
 
 
-def iou_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9) -> jax.Array:
+def iou_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9,
+               to_remove: float = 0.0) -> jax.Array:
     """Pairwise IoU. [..., N, 4] x [..., M, 4] -> [..., N, M].
 
-    Matches detectron ``boxlist_iou`` / yolact ``jaccard`` semantics (xyxy,
-    exclusive corners).
+    Default matches yolact ``jaccard`` (exclusive corners);
+    ``to_remove=1.0`` matches detectron ``boxlist_iou`` / nms.cu
+    (TO_REMOVE=1 extents) for the Mask R-CNN paths.
     """
-    inter = pairwise_intersection(a, b)
-    union = area(a)[..., :, None] + area(b)[..., None, :] - inter
+    inter = pairwise_intersection(a, b, to_remove)
+    union = (area(a, to_remove)[..., :, None]
+             + area(b, to_remove)[..., None, :] - inter)
     return inter / jnp.maximum(union, eps)
 
 

@@ -37,7 +37,7 @@ def build_train_example(dataset, iid, min_size=800, max_size=1333,
         b[:, [0, 2]] = w - gt["boxes"][:, [2, 0]]
         gt["boxes"] = b
         gt["masks"] = np.ascontiguousarray(gt["masks"][:, :, ::-1])
-    canvas, (th, tw), scale = preprocess_image_bgr(
+    canvas, (th, tw), (sy, sx) = preprocess_image_bgr(
         img[:, :, ::-1], min_size, max_size)
     g = min(len(gt["boxes"]), max_gt)
     boxes = np.zeros((max_gt, 4), np.float32)
@@ -46,7 +46,7 @@ def build_train_example(dataset, iid, min_size=800, max_size=1333,
     for i in range(g):
         if gt["iscrowd"][i]:
             continue
-        boxes[i] = gt["boxes"][i] * scale
+        boxes[i] = gt["boxes"][i] * np.asarray([sx, sy, sx, sy], np.float32)
         classes[i] = gt["classes"][i]
         x1, y1, x2, y2 = gt["boxes"][i].astype(int)
         x2 = max(x2, x1 + 1)

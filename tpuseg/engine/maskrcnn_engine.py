@@ -23,7 +23,10 @@ CANVAS_PORTRAIT = (1344, 800)
 
 
 def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
-    """-> (canvas float32 [Hc,Wc,3], (th, tw) real size, scale)."""
+    """-> (canvas float32 [Hc,Wc,3], (th, tw) real size, (sy, sx) scales).
+
+    Scales are per-axis: PIL resize rounds each target edge independently,
+    and upstream BoxList.resize divides x/y by their own ratios."""
     from PIL import Image
 
     h, w = img_bgr.shape[:2]
@@ -34,7 +37,7 @@ def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
     canvas = np.zeros((*canvas_hw, 3), np.float32)
     canvas[:th, :tw] = resized.astype(np.float32) - np.asarray(
         DETECTRON_PIXEL_MEAN_BGR, np.float32)
-    return canvas, (th, tw), th / h
+    return canvas, (th, tw), (th / h, tw / w)
 
 
 class MaskRCNNPredictor:
@@ -101,7 +104,10 @@ class MaskRCNNPredictor:
         for i, img in enumerate(imgs_bgr):
             h, w = img.shape[:2]
             valid = out["valid"][i]
-            boxes = out["boxes"][i][valid] / scales[i]
+            sy, sx = scales[i]
+            boxes = out["boxes"][i][valid].copy()
+            boxes[:, 0::2] /= sx
+            boxes[:, 1::2] /= sy
             boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w - 1)
             boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h - 1)
             masks = paste_masks(out["masks"][i][valid], boxes, h, w)

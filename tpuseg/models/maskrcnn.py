@@ -223,7 +223,7 @@ def rpn_proposals(
         scores = jnp.take_along_axis(obj, idx, axis=1)
 
         keep = nms_ops.nms_mask_batch(
-            boxes, scores, cfg.rpn_nms_thresh, valid=valid)
+            boxes, scores, cfg.rpn_nms_thresh, valid=valid, to_remove=1.0)
         lvl_boxes.append(boxes)
         lvl_scores.append(jnp.where(keep, scores, 0.0))
         lvl_valid.append(keep)
@@ -337,7 +337,8 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         proposals, p_valid, scores, box_deltas, image_hw)
     # class-aware NMS across the batch in one kernel (vmap-free)
     keep = nms_ops.batched_nms_mask_batch(
-        cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
+        cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid,
+        to_remove=1.0)
 
     def per_image_final(cb, ts, cc, kp):
         fin_s, fidx, fvalid = box_ops.masked_topk(
@@ -409,7 +410,8 @@ def forward_train_losses(
 
     k_rpn, k_roi = jax.random.split(key)
     losses = ML.rpn_loss(
-        all_logits, all_deltas, anchors, gt_boxes, gt_valid, k_rpn, loss_cfg)
+        all_logits, all_deltas, anchors, gt_boxes, gt_valid, k_rpn, loss_cfg,
+        image_hw=image_hw)
 
     # train-time proposal budget (PRE_NMS_TOP_N_TRAIN / FPN_POST_..._TRAIN)
     from dataclasses import replace as _replace

@@ -138,7 +138,8 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         cboxes = decoded.reshape(-1, 4)[sel]
         cclasses = jnp.tile(jnp.arange(cfg.num_classes - 1), (p,))[sel]
         keep = nms_ops.batched_nms_mask(
-            cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid)
+            cboxes, top_s, cclasses, cfg.nms_thresh, valid=sel_valid,
+            to_remove=1.0)
         fin_s, fidx, fvalid = box_ops.masked_topk(
             jnp.where(keep, top_s, -jnp.inf), keep, cfg.detections_per_img)
         return cboxes[fidx], jnp.where(fvalid, fin_s, 0.0), cclasses[fidx], fvalid

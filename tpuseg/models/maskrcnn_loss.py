@@ -53,7 +53,8 @@ def match_targets(
 ):
     """Vectorized Matcher. Returns (matched_idx [N] in [0, G), match_label
     [N] in {1 fg, 0 bg, -1 ignore})."""
-    iou = box_ops.iou_matrix(gt_boxes, anchors)  # [G, N]
+    iou = box_ops.iou_matrix(gt_boxes, anchors, to_remove=1.0)  # [G, N]
+    # (+1 extents: maskrcnn-benchmark boxlist_iou TO_REMOVE=1)
     iou = jnp.where(gt_valid[:, None], iou, -1.0)
     best = jnp.max(iou, axis=0)
     best_idx = jnp.argmax(iou, axis=0)
@@ -116,13 +117,31 @@ def rpn_loss(
     gt_valid: jax.Array,  # [B, G]
     key: jax.Array,
     cfg: MaskRCNNLossConfig,
+    image_hw: jax.Array | None = None,  # [B, 2] real (h, w) on the canvas
 ):
-    """rpn/loss.py RPNLossComputation: sampled BCE + smooth-L1(1/9)."""
+    """rpn/loss.py RPNLossComputation: sampled BCE + smooth-L1(1/9).
+
+    Anchors not fully inside the real image (STRADDLE_THRESH=0 visibility,
+    anchor_generator.py inds_inside) are labelled -1 and never sampled —
+    this also excludes every anchor over the zero-padded canvas region,
+    which doesn't exist upstream (anchors there are straddling by
+    construction since the real image occupies the canvas's top-left).
+    """
     b = objectness.shape[0]
 
-    def per_image(obj, dl, gtb, gtv, k):
+    def per_image(obj, dl, gtb, gtv, hw, k):
         midx, label = match_targets(
             gtb, gtv, anchors, cfg.rpn_fg_iou, cfg.rpn_bg_iou, True)
+        if hw is not None:
+            h = hw[0].astype(anchors.dtype)
+            w = hw[1].astype(anchors.dtype)
+            visible = (
+                (anchors[:, 0] >= 0)
+                & (anchors[:, 1] >= 0)
+                & (anchors[:, 2] < w)
+                & (anchors[:, 3] < h)
+            )
+            label = jnp.where(visible, label, -1)
         sel_idx, sel_pos, sel_valid = balanced_sample(
             label, k, cfg.rpn_batch_per_image, cfg.rpn_pos_fraction)
         tgt = box_ops.encode_boxes(gtb[midx], anchors)
@@ -137,8 +156,13 @@ def rpn_loss(
         return box_l, obj_l, jnp.sum(sel_valid)
 
     keys = jax.random.split(key, b)
-    box_l, obj_l, n_sampled = jax.vmap(per_image)(
-        objectness, deltas, gt_boxes, gt_valid, keys)
+    if image_hw is None:
+        box_l, obj_l, n_sampled = jax.vmap(
+            lambda o, d, gb, gv, k: per_image(o, d, gb, gv, None, k)
+        )(objectness, deltas, gt_boxes, gt_valid, keys)
+    else:
+        box_l, obj_l, n_sampled = jax.vmap(per_image)(
+            objectness, deltas, gt_boxes, gt_valid, image_hw, keys)
     total = jnp.maximum(jnp.sum(n_sampled), 1.0)
     return {
         "loss_rpn_box_reg": jnp.sum(box_l) / total,

@@ -39,7 +39,8 @@ def _sort_desc(scores, valid):
 
 
 def nms_mask_reference(
-    boxes: jax.Array, scores: jax.Array, iou_threshold: float, valid=None
+    boxes: jax.Array, scores: jax.Array, iou_threshold: float, valid=None,
+    to_remove: float = 0.0,
 ) -> jax.Array:
     """Exact greedy NMS -> keep mask [N]. Sequential golden implementation."""
     n = boxes.shape[0]
@@ -48,7 +49,7 @@ def nms_mask_reference(
     masked, order = _sort_desc(scores, valid)
     sboxes = boxes[order]
     svalid = masked[order] > NEG_INF
-    iou = box_ops.iou_matrix(sboxes, sboxes)
+    iou = box_ops.iou_matrix(sboxes, sboxes, to_remove=to_remove)
 
     def body(i, alive):
         row = iou[i]
@@ -90,13 +91,15 @@ def _self_suppress_tile(adj: jax.Array, valid: jax.Array) -> jax.Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
+@functools.partial(
+    jax.jit, static_argnames=("iou_threshold", "tile", "to_remove"))
 def nms_mask(
     boxes: jax.Array,
     scores: jax.Array,
     iou_threshold: float,
     valid=None,
     tile: int = 128,
+    to_remove: float = 0.0,
 ) -> jax.Array:
     """Exact greedy NMS -> keep mask [N]. Tiled TPU-friendly implementation."""
     n = boxes.shape[0]
@@ -120,14 +123,14 @@ def nms_mask(
         tb = sboxes_t[i]  # [T, 4]
         tv = svalid_t[i]
         # cross-tile: IoU vs ALL boxes, masked to earlier tiles' survivors
-        iou_all = box_ops.iou_matrix(tb, sboxes)  # [T, Np]
+        iou_all = box_ops.iou_matrix(tb, sboxes, to_remove=to_remove)  # [T, Np]
         earlier = jnp.arange(np_) < i * tile
         cross_sup = jnp.any(
             (iou_all > iou_threshold) & (alive & earlier)[None, :], axis=1
         )
         tv = tv & ~cross_sup
         # within-tile greedy (strict upper triangle: i suppresses j>i)
-        iou_tt = box_ops.iou_matrix(tb, tb)
+        iou_tt = box_ops.iou_matrix(tb, tb, to_remove=to_remove)
         upper = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -147,15 +150,17 @@ def nms_topk(
     iou_threshold: float,
     max_out: int,
     valid=None,
+    to_remove: float = 0.0,
 ):
     """NMS then padded top-k: returns (boxes [K,4], scores [K], idx [K], valid [K])."""
-    keep = nms_mask(boxes, scores, iou_threshold, valid=valid)
+    keep = nms_mask(boxes, scores, iou_threshold, valid=valid,
+                    to_remove=to_remove)
     sel_scores, idx, sel_valid = box_ops.masked_topk(scores, keep, max_out)
     return boxes[idx], jnp.where(sel_valid, sel_scores, 0.0), idx, sel_valid
 
 
 def nms_mask_batch(boxes, scores, iou_threshold, valid=None,
-                   use_pallas: bool | None = None):
+                   use_pallas: bool | None = None, to_remove: float = 0.0):
     """Per-image NMS over a batch: [B, N, 4]/[B, N] -> keep [B, N].
 
     On TPU this is ONE Pallas kernel launch for the whole batch
@@ -166,21 +171,25 @@ def nms_mask_batch(boxes, scores, iou_threshold, valid=None,
     if use_pallas:
         from tpuseg.ops.pallas.nms_pl import nms_mask_pallas_batched
 
-        return nms_mask_pallas_batched(boxes, scores, iou_threshold, valid)
+        return nms_mask_pallas_batched(boxes, scores, iou_threshold, valid,
+                                       to_remove=to_remove)
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
     return jax.vmap(
-        lambda b, s, v: nms_mask(b, s, iou_threshold, valid=v)
+        lambda b, s, v: nms_mask(b, s, iou_threshold, valid=v,
+                                 to_remove=to_remove)
     )(boxes, scores, valid)
 
 
 def batched_nms_mask_batch(boxes, scores, class_ids, iou_threshold,
-                           valid=None, use_pallas: bool | None = None):
+                           valid=None, use_pallas: bool | None = None,
+                           to_remove: float = 0.0):
     """Class-aware per-image NMS over a batch (coordinate-offset trick)."""
     max_coord = jnp.max(jnp.abs(boxes)) + 1.0
     offsets = class_ids.astype(boxes.dtype) * (2.0 * max_coord)
     return nms_mask_batch(boxes + offsets[..., None], scores, iou_threshold,
-                          valid=valid, use_pallas=use_pallas)
+                          valid=valid, use_pallas=use_pallas,
+                          to_remove=to_remove)
 
 
 def batched_nms_mask(
@@ -189,6 +198,7 @@ def batched_nms_mask(
     class_ids: jax.Array,
     iou_threshold: float,
     valid=None,
+    to_remove: float = 0.0,
 ) -> jax.Array:
     """Class-aware NMS via the coordinate-offset trick (torchvision batched_nms).
 
@@ -199,7 +209,8 @@ def batched_nms_mask(
     max_coord = jnp.max(jnp.abs(boxes)) + 1.0
     offsets = class_ids.astype(boxes.dtype) * (2.0 * max_coord)
     shifted = boxes + offsets[..., None]
-    return nms_mask(shifted, scores, iou_threshold, valid=valid)
+    return nms_mask(shifted, scores, iou_threshold, valid=valid,
+                    to_remove=to_remove)
 
 
 def fast_nms(

@@ -20,8 +20,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _iou_tile_vs_all(tb, boxes):
-    """[T, 4] x [N, 4] -> [T, N] IoU.
+def _iou_tile_vs_all(tb, boxes, to_remove=0.0):
+    """[T, 4] x [N, 4] -> [T, N] IoU (to_remove=1.0 for detectron extents).
 
     Written with 2-D slices + transposes only (Mosaic-friendly: no
     newaxis-with-int indexing).
@@ -33,14 +33,17 @@ def _iou_tile_vs_all(tb, boxes):
     lt_y = jnp.maximum(ty1, by1)
     rb_x = jnp.minimum(tx2, bx2)
     rb_y = jnp.minimum(ty2, by2)
-    inter = jnp.maximum(rb_x - lt_x, 0.0) * jnp.maximum(rb_y - lt_y, 0.0)
-    area_t = jnp.maximum(tx2 - tx1, 0.0) * jnp.maximum(ty2 - ty1, 0.0)
-    area_a = jnp.maximum(bx2 - bx1, 0.0) * jnp.maximum(by2 - by1, 0.0)
+    inter = (jnp.maximum(rb_x - lt_x + to_remove, 0.0)
+             * jnp.maximum(rb_y - lt_y + to_remove, 0.0))
+    area_t = (jnp.maximum(tx2 - tx1 + to_remove, 0.0)
+              * jnp.maximum(ty2 - ty1 + to_remove, 0.0))
+    area_a = (jnp.maximum(bx2 - bx1 + to_remove, 0.0)
+              * jnp.maximum(by2 - by1 + to_remove, 0.0))
     union = area_t + area_a - inter
     return inter / jnp.maximum(union, 1e-9)
 
 
-def _make_kernel(n, tile, iou_threshold):
+def _make_kernel(n, tile, iou_threshold, to_remove=0.0):
     """Kernel over grid (B, num_tiles): batch-major sequential execution lets
     the [N, 1] alive scratch be reset at tile 0 of each batch element.
     boxes/valid/out are blocked per batch element."""
@@ -58,7 +61,7 @@ def _make_kernel(n, tile, iou_threshold):
         start = pl.multiple_of(i * tile, tile)
         tb = boxes_ref[0, pl.ds(start, tile), :]
         tv = valid_ref[0, pl.ds(start, tile), :] > 0  # [T, 1]
-        iou_all = _iou_tile_vs_all(tb, boxes_ref[0, :, :])  # [T, N]
+        iou_all = _iou_tile_vs_all(tb, boxes_ref[0, :, :], to_remove)  # [T, N]
         pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         alive_row = jnp.transpose(alive_ref[:, :])  # [1, N]
         earlier = jnp.where(pos < start, alive_row, 0.0)  # [1, N]
@@ -69,7 +72,7 @@ def _make_kernel(n, tile, iou_threshold):
 
         # within-tile greedy fixed point (strict upper triangle); computed
         # directly (Mosaic has no dynamic_slice on values, and [T,T] is tiny)
-        iou_tt = _iou_tile_vs_all(tb, tb)
+        iou_tt = _iou_tile_vs_all(tb, tb, to_remove)
         upper = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -107,7 +110,8 @@ def _make_kernel(n, tile, iou_threshold):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iou_threshold", "tile", "interpret"))
+    jax.jit,
+    static_argnames=("iou_threshold", "tile", "interpret", "to_remove"))
 def nms_mask_pallas_batched(
     boxes: jax.Array,  # [B, N, 4]
     scores: jax.Array,  # [B, N]
@@ -115,6 +119,7 @@ def nms_mask_pallas_batched(
     valid=None,  # [B, N]
     tile: int = 128,
     interpret: bool = False,
+    to_remove: float = 0.0,
 ) -> jax.Array:
     """Exact greedy NMS keep-masks [B, N].
 
@@ -139,7 +144,7 @@ def nms_mask_pallas_batched(
     ).astype(jnp.float32).reshape(b, np_, 1)
 
     out = pl.pallas_call(
-        _make_kernel(np_, tile, iou_threshold),
+        _make_kernel(np_, tile, iou_threshold, to_remove),
         grid=(b, np_ // tile),
         in_specs=[
             pl.BlockSpec((1, np_, 4), lambda bi, ti: (bi, 0, 0),
@@ -166,11 +171,12 @@ def nms_mask_pallas(
     valid=None,
     tile: int = 128,
     interpret: bool = False,
+    to_remove: float = 0.0,
 ) -> jax.Array:
     """Exact greedy NMS keep-mask [N] (single-image convenience wrapper)."""
     out = nms_mask_pallas_batched(
         boxes[None], scores[None],
         iou_threshold,
         None if valid is None else valid[None],
-        tile=tile, interpret=interpret)
+        tile=tile, interpret=interpret, to_remove=to_remove)
     return out[0]
