@@ -1,31 +1,44 @@
 #!/usr/bin/env python
-"""Benchmark: YOLACT-550 ResNet50-FPN inference throughput on TPU.
+"""Benchmark: the two north-star throughput numbers on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: BASELINE.json north star — >= 200 img/s on a v5e-8, i.e.
-25 img/s/chip. vs_baseline = measured img/s/chip / 25.
+Prints one JSON line per metric:
+  1. YOLACT-550 R50-FPN inference img/s/chip (device pipeline, synthetic
+     uint8 input) — baseline 200/8 = 25 img/s/chip (BASELINE.json).
+  2. YOLACT-550 end-to-end img/s/chip: JPEG decode on the native C++ worker
+     pool pipelined against the device (the fused-preprocess north star
+     measured with the host half in the loop).
+  3. Mask R-CNN R50-FPN inference img/s/chip (800x1344 canvas, full
+     detect+segment) — baseline 100/8 = 12.5 img/s/chip.
 
-The measured program is the full single-jit detect+segment pipeline
-(uint8 in -> preprocess -> backbone -> FPN -> heads -> decode -> Fast-NMS ->
-mask assembly+crop), batch 16, steady state.
+The YOLACT device pipeline opts into approx_max_k candidate selection
+(bench-only knob; eval engines default exact for mAP parity — see
+tests/test_yolact.py::test_fast_nms_approx_vs_exact for the measured diff).
 """
 import json
+import os
+import tempfile
 import time
 
-BASELINE_IMG_S_PER_CHIP = 200.0 / 8.0
+YOLACT_BASE = 200.0 / 8.0
+MASKRCNN_BASE = 100.0 / 8.0
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
+def _emit(metric, value, unit, base):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / base, 3),
+    }), flush=True)
 
+
+def bench_yolact(jax, jnp, np):
     from tpuseg.models import yolact as Y
     from tpuseg.ops.preprocess import yolact_preprocess
 
     batch = 32
     dtype = jnp.bfloat16  # backbone/heads bf16; decode/NMS/masks f32
-    cfg = Y.YolactConfig(backbone="resnet50")
+    cfg = Y.YolactConfig(backbone="resnet50", approx_topk=True)
     params = jax.tree.map(
         lambda x: x.astype(dtype)
         if jnp.issubdtype(x.dtype, jnp.floating) else x,
@@ -44,7 +57,6 @@ def main():
     run = jax.jit(pipe)
     out = run(params, images)  # compile
     float(out["scores"][0, 0])  # true device sync (readback)
-    # warmup
     for _ in range(3):
         out = run(params, images)
     float(out["scores"][0, 0])
@@ -57,13 +69,108 @@ def main():
         out = run(params, images)
     float(out["scores"][0, 0])
     dt = (time.perf_counter() - t0) / iters
-    img_s = batch / dt
-    print(json.dumps({
-        "metric": "YOLACT-550 R50-FPN inference throughput (img/s/chip)",
-        "value": round(img_s, 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(img_s / BASELINE_IMG_S_PER_CHIP, 3),
-    }))
+    _emit("YOLACT-550 R50-FPN inference throughput (img/s/chip)",
+          batch / dt, "img/s/chip", YOLACT_BASE)
+    return run, params, cfg
+
+
+def bench_yolact_end_to_end(jax, jnp, np, run, params, cfg):
+    """Host JPEG decode (native C++ pool) pipelined against the device."""
+    import cv2
+
+    from tpuseg.data.native_loader import NativeImageLoader
+
+    batch, iters = 32, 20
+    rng = np.random.default_rng(0)
+    tmpdir = tempfile.mkdtemp(prefix="tpuseg_bench_")
+    paths = []
+    # photo-like synthetic images (smooth structure + mild noise): random
+    # noise JPEGs are a decode worst case ~3x slower than real photos
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    for i in range(batch * 4):  # rotate 4 distinct batches of files
+        base = np.stack([
+            np.sin(xx / (20 + i % 7)) * 100 + 128,
+            np.cos(yy / (15 + i % 5)) * 100 + 128,
+            ((xx + yy) / 4 + i * 11) % 256,
+        ], -1)
+        img = np.clip(base + rng.normal(0, 8, base.shape), 0, 255).astype(np.uint8)
+        p = os.path.join(tmpdir, f"{i}.jpg")
+        cv2.imwrite(p, img)
+        paths.append(p)
+    loader = NativeImageLoader()
+
+    def load(bi):
+        batch_paths = paths[(bi % 4) * batch:(bi % 4 + 1) * batch]
+        imgs, _ = loader.load_batch(batch_paths, 550, 550)
+        return imgs
+
+    # prefetch pattern of the eval loop: decode batch i+1 while the device
+    # runs batch i
+    out = run(params, jnp.asarray(load(0)))  # compile + warm
+    float(out["scores"][0, 0])
+    nxt = load(0)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        cur = jnp.asarray(nxt)
+        out = run(params, cur)
+        nxt = load(i + 1)  # host decodes while device runs
+    float(out["scores"][0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    _emit("YOLACT-550 R50-FPN end-to-end throughput incl. JPEG decode "
+          f"({'native' if loader.is_native else 'cv2'} loader, img/s/chip)",
+          batch / dt, "img/s/chip", YOLACT_BASE)
+    for p in paths:
+        os.unlink(p)
+    os.rmdir(tmpdir)
+
+
+def bench_maskrcnn(jax, jnp, np):
+    from tpuseg.models import maskrcnn as M
+
+    batch = 8
+    dtype = jnp.bfloat16
+    cfg = M.MaskRCNNConfig()
+    params = jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+        M.init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    ch, cw = 800, 1344  # landscape canvas (shortest-edge-800 policy)
+    images = jnp.asarray(
+        rng.standard_normal((batch, ch, cw, 3)).astype(np.float32))
+    hw = jnp.asarray([[800, 1201]] * batch, jnp.int32)
+
+    def pipe(p, im, hw):
+        return M.forward_inference(p, im.astype(dtype), hw, cfg)
+
+    run = jax.jit(pipe)
+    out = run(params, images, hw)
+    float(out["scores"][0, 0])
+    for _ in range(2):
+        out = run(params, images, hw)
+    float(out["scores"][0, 0])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run(params, images, hw)
+    float(out["scores"][0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    _emit("Mask R-CNN R50-FPN inference throughput (img/s/chip)",
+          batch / dt, "img/s/chip", MASKRCNN_BASE)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    run, params, cfg = bench_yolact(jax, jnp, np)
+    try:
+        bench_yolact_end_to_end(jax, jnp, np, run, params, cfg)
+    except Exception as e:  # end-to-end variant must not mask the headline
+        print(json.dumps({"metric": "end-to-end variant failed",
+                          "error": str(e)}), flush=True)
+    bench_maskrcnn(jax, jnp, np)
 
 
 if __name__ == "__main__":

@@ -57,6 +57,9 @@ class YolactConfig:
     # Fast-NMS (default) vs the reference's optional traditional per-class
     # greedy NMS (layers/functions/detection.py use_fast_nms flag)
     use_fast_nms: bool = True
+    # bench-only speed knob: approx_max_k candidate selection in Fast-NMS
+    # (recall ~0.99). Eval paths keep the exact default for mAP parity.
+    approx_topk: bool = False
     # YOLACT++ extras
     dcn_backbone: bool = False  # DCNv2 in stages 1-3, every 3rd block
     use_maskiou: bool = False  # FastMaskIoUNet mask rescoring
@@ -224,7 +227,8 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
         scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
         if cfg.use_fast_nms:
             cboxes, cscores, cclasses, cidx, keep = nms_ops.fast_nms(
-                boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k
+                boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k,
+                exact_topk=not cfg.approx_topk,
             )
         else:
             # traditional_nms: exact greedy per class (coordinate-offset

@@ -220,7 +220,7 @@ def fast_nms(
     top_k: int = 200,
     second_threshold: bool = False,
     conf_thresh: float = 0.05,
-    exact_topk: bool = False,
+    exact_topk: bool = True,
 ):
     """YOLACT Fast-NMS (layers/functions/detection.py::fast_nms).
 
@@ -229,9 +229,10 @@ def fast_nms(
     by the caller. Loop-free: per class take top_k, build the IoU matrix, keep
     a box iff no higher-scored same-class box overlaps it above the threshold.
 
-    The per-class candidate selection uses TPU ``approx_max_k`` (recall ~0.99
-    at rank 200 over ~19k priors; only near-threshold tail candidates can
-    differ) unless ``exact_topk`` — full sort-based top_k — is requested.
+    Candidate selection is EXACT top_k by default (parity with the
+    reference's sort); ``exact_topk=False`` opts into TPU ``approx_max_k``
+    (recall ~0.99 at rank 200 over ~19k priors — a bench-only speed knob;
+    only near-threshold tail candidates can differ).
     """
     c, n = scores.shape
     k = min(top_k, n)
