@@ -52,7 +52,7 @@ def test_pose2seg_trainer_step(rng):
     from tpuseg.models.pose2seg_loss import Pose2SegTrainer, warp_gt_to_aligned
 
     cfg = P2S.Pose2SegConfig(input_size=64, align_size=16, max_people=3,
-                             seg_blocks=2)
+                             seg_units=2)
     params = P2S.init_params(jax.random.PRNGKey(0), cfg)
     trainer = Pose2SegTrainer(cfg, lr_fn=lambda it: 1e-6)
     buf = trainer.init_state(params)

@@ -57,14 +57,18 @@ def main():
             theta = np.zeros((1, p, 2, 3), np.float32)
             valid = np.zeros((1, p), bool)
             gt_masks = np.zeros((1, p, s, s), np.float32)
+            skel = np.zeros((1, p, cfg.align_size, cfg.align_size,
+                             cfg.skeleton_channels), np.float32)
             for i, kp in enumerate(kpts[:p]):
                 kp = kp.copy()
                 kp[:, :2] *= scale
-                A, res = P2S.best_template_affine(kp, cfg)
+                A, score, _ = P2S.choose_template(kp, cfg)
                 if A is None:
                     continue
                 theta[0, i] = P2S.affine_to_theta(A, s, s)
                 valid[0, i] = True
+                if cfg.cat_skeleton:
+                    skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
                 if i < len(gt["masks"]):
                     m = cv2.resize(gt["masks"][i].astype(np.float32),
                                    (nw, nh))
@@ -77,7 +81,7 @@ def main():
             params, buf, loss = trainer.train_step(
                 params, buf, jnp.asarray(canvas, jnp.float32)[None],
                 jnp.asarray(theta), jnp.asarray(valid),
-                jnp.asarray(gt_aligned), it)
+                jnp.asarray(gt_aligned), it, skel=jnp.asarray(skel))
             it += 1
             if it % 20 == 0:
                 print(f"iter {it}: loss {float(loss):.4f}")

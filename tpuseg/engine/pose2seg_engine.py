@@ -19,15 +19,16 @@ class Pose2SegPredictor:
         self.cfg = cfg or P2S.Pose2SegConfig()
         if params is None:
             if weights:
-                params = load_pose2seg_weights(weights, self.cfg)
+                params, self.cfg = load_pose2seg_weights(weights, self.cfg)
             else:
                 params = P2S.init_params(jax.random.PRNGKey(0), self.cfg)
         self.params = jax.tree.map(jnp.asarray, params)
         c = self.cfg
 
         @jax.jit
-        def run(params, images, theta, inv_theta, valid):
-            return P2S.forward(params, images, theta, inv_theta, valid, c)
+        def run(params, images, theta, inv_theta, valid, skel):
+            return P2S.forward(params, images, theta, inv_theta, valid, c,
+                               skel_feats=skel if c.cat_skeleton else None)
 
         self._run = run
 
@@ -52,18 +53,23 @@ class Pose2SegPredictor:
         theta = np.zeros((1, p, 2, 3), np.float32)
         inv_theta = np.zeros((1, p, 2, 3), np.float32)
         valid = np.zeros((1, p), bool)
+        skel = np.zeros(
+            (1, p, cfg.align_size, cfg.align_size, cfg.skeleton_channels),
+            np.float32)
         for i in range(n):
             kp = keypoints[i].astype(np.float64).copy()
             kp[:, :2] *= scale
-            A, res = P2S.best_template_affine(kp, cfg)
+            A, score, _ = P2S.choose_template(kp, cfg)
             if A is None:
                 continue
             theta[0, i] = P2S.affine_to_theta(A, s, s)
             inv_theta[0, i] = P2S.inverse_theta(A, s, s)
             valid[0, i] = True
+            if cfg.cat_skeleton:
+                skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
         out = self._run(self.params, jnp.asarray(canvas, jnp.float32)[None],
                         jnp.asarray(theta), jnp.asarray(inv_theta),
-                        jnp.asarray(valid))
+                        jnp.asarray(valid), jnp.asarray(skel))
         masks_s = np.asarray(out["masks"])[0, :n]  # [n, PS, PS] paste grid
         ps = cfg.paste_size
         masks = np.zeros((n, h, w), np.uint8)
@@ -78,42 +84,187 @@ class Pose2SegPredictor:
         return {"masks": masks, "valid": valid[0, :n]}
 
 
-def load_pose2seg_weights(path: str, cfg) -> dict:
-    """Load a torch-saved Pose2Seg checkpoint (last.pkl) — best-effort name
-    mapping; falls back to our npz format."""
+def load_pose2seg_weights(path: str, cfg):
+    """Load a torch-saved Pose2Seg checkpoint (last.pkl).
+
+    Returns (params, cfg) — cfg may be adjusted (cat_skeleton inferred from
+    the checkpoint's segnet input channels). Also accepts our npz format
+    (returns (params, cfg) unchanged-config).
+    """
     if path.endswith(".npz"):
         from tpuseg.engine.trainer import load_params_npz
 
         like = P2S.init_params(jax.random.PRNGKey(0), cfg)
-        return load_params_npz(path, like)
+        return load_params_npz(path, like), cfg
     from tpuseg.weights.torch_io import flatten_state_dict, load_torch_file
 
     flat = flatten_state_dict(load_torch_file(path))
     return pose2seg_from_torch(flat, cfg)
 
 
-def pose2seg_from_torch(flat: dict, cfg) -> dict:
-    """Map a Pose2Seg torch state dict onto our tree.
+def pose2seg_from_torch(flat: dict, cfg):
+    """Map an upstream Pose2Seg torch state dict onto our tree — strictly.
 
-    The released last.pkl keeps upstream module names (backbone.resnet50FPN /
-    segnet); exact submodule names are [C]-tier (SURVEY §0) — this mapper
-    keys on the torchvision-style resnet names it can find and raises with
-    the unmatched names listed, so real checkpoints diagnose cleanly.
+    The released last.pkl keeps upstream module names: ``backbone.*`` is the
+    resnet50FPN (torchvision resnet names + toplayer/latlayer1-3/smooth1-3
+    FPN convs, possibly with the resnet nested under ``backbone.resnet.``)
+    and ``segnet.*`` is resnet10units (conv1/bn1, 10 Bottleneck units in a
+    sequential container, 1x1 2-channel classifier). Every checkpoint tensor
+    must be consumed (num_batches_tracked and non-model entries excepted) or
+    this raises listing the leftovers. Returns (params, cfg') with
+    cat_skeleton inferred from segnet.conv1's input channels.
     """
+    import re
+
+    from dataclasses import replace as _replace
+
+    import numpy as np
+
     from tpuseg.nn import resnet as resnet_nn
 
-    prefixes = sorted({k.split(".")[0] for k in flat})
-    for pre in ("backbone.", "module.backbone.", ""):
-        if f"{pre}conv1.weight" in flat or f"{pre}layer1.0.conv1.weight" in flat:
-            rcfg = resnet_nn.ResNetConfig(depth=50, stride_in_1x1=False,
-                                          frozen_bn=False, dilation_c5=2)
-            backbone = resnet_nn.from_torch_state(flat, rcfg, prefix=pre)
-            raise NotImplementedError(
-                "Pose2Seg checkpoint found resnet weights under prefix "
-                f"'{pre}'; FPN/seg-head name mapping requires the real "
-                f"checkpoint's names. Top-level keys: {prefixes[:20]}")
-    raise ValueError(
-        f"unrecognized Pose2Seg checkpoint structure; keys: {prefixes[:20]}")
+    consumed = set()
+
+    def _conv_np(key_w):
+        consumed.add(key_w)
+        w = np.ascontiguousarray(
+            np.asarray(flat[key_w], np.float32).transpose(2, 3, 1, 0))
+        key_b = key_w[:-len("weight")] + "bias"
+        b = None
+        if key_b in flat:
+            consumed.add(key_b)
+            b = np.asarray(flat[key_b], np.float32)
+        return {"weight": w, "bias": b}
+
+    def _bn_np(base):
+        out = {}
+        for k in ("weight", "bias", "running_mean", "running_var"):
+            consumed.add(f"{base}.{k}")
+            out[k] = np.asarray(flat[f"{base}.{k}"], np.float32)
+        return out
+
+    # tolerate DataParallel prefixes
+    if any(k.startswith("module.") for k in flat):
+        flat = {k[len("module."):] if k.startswith("module.") else k: v
+                for k, v in flat.items()}
+
+    # ---- backbone resnet (inlined kuangliu-style or nested .resnet.)
+    res_pre = None
+    for pre in ("backbone.", "backbone.resnet.", "backbone.resnet50.",
+                "backbone.backbone."):
+        if f"{pre}conv1.weight" in flat and f"{pre}layer1.0.conv1.weight" in flat:
+            res_pre = pre
+            break
+    if res_pre is None:
+        tops = sorted({k.split(".")[0] for k in flat})
+        raise ValueError(
+            f"unrecognized Pose2Seg checkpoint structure; keys: {tops[:20]}")
+    rcfg = resnet_nn.ResNetConfig(depth=50, stride_in_1x1=False,
+                                  frozen_bn=False,
+                                  dilation_c5=cfg.dilation_c5)
+    backbone = resnet_nn.from_torch_state(flat, rcfg, prefix=res_pre)
+    consumed.update(
+        k for k in flat
+        if k.startswith(res_pre) and re.match(
+            rf"{re.escape(res_pre)}(conv1\.|bn1\.|layer[1-4]\.)", k))
+
+    # ---- FPN convs (live beside the resnet under backbone.)
+    fpn_names = ("toplayer", "latlayer1", "latlayer2", "latlayer3",
+                 "smooth1", "smooth2", "smooth3")
+    fpn_pre = None
+    for pre in ("backbone.", "backbone.fpn."):
+        if f"{pre}toplayer.weight" in flat:
+            fpn_pre = pre
+            break
+    if fpn_pre is None:
+        raise ValueError(
+            "Pose2Seg checkpoint has no FPN convs (toplayer/latlayer/...) "
+            f"under 'backbone.'; keys: {sorted(flat)[:20]}")
+    fpn = {n: _conv_np(f"{fpn_pre}{n}.weight") for n in fpn_names
+           if f"{fpn_pre}{n}.weight" in flat}
+    missing_fpn = [n for n in ("toplayer", "latlayer1", "latlayer2",
+                               "latlayer3", "smooth3") if n not in fpn]
+    if missing_fpn:
+        raise ValueError(f"Pose2Seg FPN convs missing: {missing_fpn}")
+    for n in ("smooth1", "smooth2"):  # unused by the P2 path but may exist
+        fpn.setdefault(n, {
+            "weight": np.zeros((3, 3, 256, 256), np.float32),
+            "bias": np.zeros((256,), np.float32)})
+
+    # ---- segnet (resnet10units)
+    seg_keys = [k for k in flat if k.startswith("segnet.")]
+    if not seg_keys:
+        raise ValueError("Pose2Seg checkpoint has no segnet.* keys")
+    # stem: first conv+bn
+    stem_conv = None
+    for cand in ("segnet.conv1.weight", "segnet.stem.0.weight",
+                 "segnet.conv_in.weight"):
+        if cand in flat:
+            stem_conv = cand
+            break
+    if stem_conv is None:
+        raise ValueError(f"segnet stem conv not found; keys: {seg_keys[:10]}")
+    seg = {"conv1": _conv_np(stem_conv)}
+    bn1_base = stem_conv.replace("conv1.weight", "bn1").replace(
+        "stem.0.weight", "stem.1").replace("conv_in.weight", "bn_in")
+    seg["bn1"] = _bn_np(bn1_base)
+
+    # residual units: find the sequential container by pattern
+    unit_pat = re.compile(r"^(segnet\..*?)\.(\d+)\.conv1\.weight$")
+    containers = {}
+    for k in seg_keys:
+        m = unit_pat.match(k)
+        if m:
+            containers.setdefault(m.group(1), set()).add(int(m.group(2)))
+    if not containers:
+        raise ValueError(
+            f"segnet residual units not found; keys: {seg_keys[:10]}")
+    cont = max(containers, key=lambda c: len(containers[c]))
+    idxs = sorted(containers[cont])
+    units = []
+    for i in idxs:
+        base = f"{cont}.{i}"
+        units.append({
+            "conv1": _conv_np(f"{base}.conv1.weight"),
+            "bn1": _bn_np(f"{base}.bn1"),
+            "conv2": _conv_np(f"{base}.conv2.weight"),
+            "bn2": _bn_np(f"{base}.bn2"),
+            "conv3": _conv_np(f"{base}.conv3.weight"),
+            "bn3": _bn_np(f"{base}.bn3"),
+        })
+    seg["units"] = units
+
+    # classifier: remaining segnet conv with 2 output channels
+    cls_key = None
+    for k in seg_keys:
+        if k.endswith(".weight") and k not in consumed:
+            w = np.asarray(flat[k])
+            if w.ndim == 4 and w.shape[0] == 2:
+                cls_key = k
+                break
+    if cls_key is None:
+        raise ValueError("segnet classifier (2-channel conv) not found")
+    seg["classifier"] = _conv_np(cls_key)
+
+    # ---- strict accounting
+    ignorable = tuple(["num_batches_tracked"])
+    leftovers = [
+        k for k in flat
+        if k not in consumed and not k.endswith(ignorable)
+        and k.split(".")[0] in ("backbone", "segnet")]
+    if leftovers:
+        raise ValueError(
+            f"Pose2Seg checkpoint keys not mapped ({len(leftovers)}): "
+            f"{leftovers[:12]}")
+
+    # infer skeleton concat from segnet input channels
+    seg_in = seg["conv1"]["weight"].shape[2]
+    cat_skeleton = seg_in > cfg.feature_channels
+    cfg2 = _replace(cfg, cat_skeleton=cat_skeleton)
+    if cat_skeleton and seg_in != cfg.feature_channels + cfg.skeleton_channels:
+        raise ValueError(
+            f"segnet expects {seg_in} input channels; model computes "
+            f"{cfg.feature_channels} + {cfg.skeleton_channels} skeleton")
+    return {"backbone": backbone, "fpn": fpn, "seg": seg}, cfg2
 
 
 def evaluate_pose2seg(predictor, dataset, max_images=None, progress=True):

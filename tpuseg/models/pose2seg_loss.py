@@ -45,9 +45,12 @@ class Pose2SegTrainer:
         c = cfg
         lr_fn_ = self.lr_fn
 
-        def loss_fn(params, images, theta, valid, gt_aligned):
+        def loss_fn(params, images, theta, valid, gt_aligned, skel):
             feats = P2S.backbone_forward(params, images, c)
             aligned = P2S.affine_align(feats, theta, c.align_size)
+            if c.cat_skeleton:
+                aligned = jnp.concatenate(
+                    [aligned, skel.astype(aligned.dtype)], axis=-1)
             b, p = theta.shape[:2]
             logits = P2S.seg_module(
                 params["seg"],
@@ -55,9 +58,9 @@ class Pose2SegTrainer:
             logits = logits.reshape(b, p, c.align_size, c.align_size, 2)
             return aligned_ce_loss(logits, gt_aligned, valid)
 
-        def step(params, buf, images, theta, valid, gt_aligned, it):
+        def step(params, buf, images, theta, valid, gt_aligned, skel, it):
             loss, grads = jax.value_and_grad(loss_fn)(
-                params, images, theta, valid, gt_aligned)
+                params, images, theta, valid, gt_aligned, skel)
             params, buf = sgd_update(params, grads, buf, lr_fn_(it), mom, wd)
             return params, buf, loss
 
@@ -66,5 +69,12 @@ class Pose2SegTrainer:
     def init_state(self, params):
         return sgd_init(params)
 
-    def train_step(self, params, buf, images, theta, valid, gt_aligned, it):
-        return self._step(params, buf, images, theta, valid, gt_aligned, it)
+    def train_step(self, params, buf, images, theta, valid, gt_aligned, it,
+                   skel=None):
+        if skel is None:
+            b, p = theta.shape[:2]
+            skel = jnp.zeros(
+                (b, p, self.cfg.align_size, self.cfg.align_size,
+                 self.cfg.skeleton_channels), jnp.float32)
+        return self._step(params, buf, images, theta, valid, gt_aligned,
+                          skel, it)
