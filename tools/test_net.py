@@ -20,7 +20,8 @@ def main():
     args = ap.parse_args()
 
     from tpuseg.engine.config import ConfigNode
-    from tpuseg.engine.maskrcnn_engine import MaskRCNNPredictor, evaluate_coco
+    from tpuseg.engine.maskrcnn_engine import (
+        build_predictor_from_cfg, evaluate_coco)
     from tpuseg.data.coco_dataset import CocoDetectionDataset
 
     cfg = ConfigNode({"MODEL": {"WEIGHT": ""},
@@ -32,10 +33,8 @@ def main():
     if args.opts:
         cfg.merge_from_list(args.opts)
 
-    predictor = MaskRCNNPredictor(
-        weights=cfg.MODEL.WEIGHT or None,
-        min_image_size=cfg.INPUT.MIN_SIZE_TEST,
-    )
+    # dispatches FPN vs C4 on MODEL.BACKBONE.CONV_BODY
+    predictor = build_predictor_from_cfg(cfg)
     dataset = CocoDetectionDataset(
         cfg.DATASETS.IMAGES, cfg.DATASETS.ANNOTATIONS, label_map=None)
     evaluate_coco(predictor, dataset, max_images=args.max_images,

@@ -41,32 +41,47 @@ def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
 
 
 class MaskRCNNPredictor:
-    """COCODemo-equivalent programmatic API (README.md:288-335)."""
+    """COCODemo-equivalent programmatic API (README.md:288-335).
 
-    def __init__(self, cfg: M.MaskRCNNConfig | None = None, params=None,
+    ``variant="fpn"`` (GeneralizedRCNN R-50/101-FPN) or ``"c4"``
+    (e2e_mask_rcnn_R_50_C4 — the config the reference README demos,
+    README.md:266/314): same surface, dispatched model + weight map.
+    """
+
+    def __init__(self, cfg=None, params=None,
                  weights: str | None = None, batch_size: int = 1,
                  confidence_threshold: float = 0.5, min_image_size: int = 800,
-                 dtype=jnp.float32):
-        self.cfg = cfg or M.MaskRCNNConfig()
+                 dtype=jnp.float32, variant: str = "fpn"):
+        if variant == "c4":
+            from tpuseg.models import maskrcnn_c4 as C4
+
+            self._mod = C4
+            self.cfg = cfg or C4.MaskRCNNC4Config()
+        else:
+            self._mod = M
+            self.cfg = cfg or M.MaskRCNNConfig()
+        self.variant = variant
         self.batch_size = batch_size
         self.confidence_threshold = confidence_threshold
         self.min_image_size = min_image_size
         self.dtype = dtype
         if params is None:
             if weights:
-                params = load_detectron_weights(weights, self.cfg)
+                params = load_detectron_weights(weights, self.cfg,
+                                                variant=variant)
             else:
-                params = M.init_params(jax.random.PRNGKey(0), self.cfg)
+                params = self._mod.init_params(jax.random.PRNGKey(0), self.cfg)
         self.params = jax.tree.map(
             lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
                 jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x), params)
         self._runs = {}
         mcfg = self.cfg
+        mod = self._mod
 
         def make_run(canvas_hw):
             @jax.jit
             def run(params, images, image_hw):
-                out = M.forward_inference(
+                out = mod.forward_inference(
                     params, images.astype(dtype), image_hw, mcfg)
                 return {k: v.astype(jnp.float32) if v.dtype != jnp.bool_
                         and jnp.issubdtype(v.dtype, jnp.floating) else v
@@ -125,12 +140,64 @@ class MaskRCNNPredictor:
         return {k: v[keep][order] for k, v in preds.items()}
 
 
-def load_detectron_weights(path: str, cfg: M.MaskRCNNConfig) -> dict:
-    from tpuseg.weights.detectron_map import from_torch_state
+def load_detectron_weights(path: str, cfg, variant: str = "fpn") -> dict:
     from tpuseg.weights.torch_io import flatten_state_dict, load_torch_file
 
     flat = flatten_state_dict(load_torch_file(path))
+    if variant == "c4":
+        from tpuseg.models.maskrcnn_c4 import from_torch_state as c4_map
+
+        return c4_map(flat, cfg)
+    from tpuseg.weights.detectron_map import from_torch_state
+
     return from_torch_state(flat, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Config-file dispatch (yacs tree -> model variant + dataclass config)
+# ---------------------------------------------------------------------------
+
+
+def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
+    """ConfigNode (merge_from_file'd yaml) -> predictor for its variant.
+
+    Dispatches on MODEL.BACKBONE.CONV_BODY ("R-50-FPN" / "R-101-FPN" /
+    "R-50-C4", README.md:263-284) and applies the RPN top-N and head
+    constants from the yaml onto the model dataclass.
+    """
+    def get(path, default):
+        cur = node
+        for part in path.split("."):
+            try:
+                cur = cur[part]
+            except (KeyError, TypeError):
+                return default
+        return cur
+
+    conv_body = get("MODEL.BACKBONE.CONV_BODY", "R-50-FPN")
+    num_classes = int(get("MODEL.ROI_BOX_HEAD.NUM_CLASSES", 81))
+    weights = get("MODEL.WEIGHT", "") or None
+    min_size = int(get("INPUT.MIN_SIZE_TEST", 800))
+    if conv_body.endswith("-C4"):
+        from tpuseg.models.maskrcnn_c4 import MaskRCNNC4Config
+
+        cfg = MaskRCNNC4Config(
+            depth=101 if "101" in conv_body else 50,
+            rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 6000)),
+            rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
+            num_classes=num_classes,
+        )
+        return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="c4",
+                                 min_image_size=min_size, **kw)
+    cfg = M.MaskRCNNConfig(
+        depth=101 if "101" in conv_body else 50,
+        rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 1000)),
+        rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
+        fpn_post_nms_top_n=int(get("MODEL.RPN.FPN_POST_NMS_TOP_N_TEST", 1000)),
+        num_classes=num_classes,
+    )
+    return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="fpn",
+                             min_image_size=min_size, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -34,15 +34,28 @@ class COCODemo:
     def __init__(self, cfg=None, min_image_size: int = 800,
                  confidence_threshold: float = 0.7,
                  show_mask_heatmaps: bool = False, weights: str | None = None):
-        # cfg may be a ConfigNode carrying MODEL.WEIGHT (merge_from_file path)
-        if weights is None and cfg is not None:
-            try:
-                weights = cfg.MODEL.WEIGHT or None
-            except (AttributeError, KeyError):
-                weights = None
-        self.predictor = MaskRCNNPredictor(
-            weights=weights, confidence_threshold=confidence_threshold,
-            min_image_size=min_image_size)
+        # cfg may be a ConfigNode (merge_from_file path): dispatch on its
+        # META_ARCHITECTURE / CONV_BODY (FPN vs C4) and honor MODEL.WEIGHT
+        from tpuseg.engine.config import ConfigNode
+        from tpuseg.engine.maskrcnn_engine import build_predictor_from_cfg
+
+        if isinstance(cfg, ConfigNode):
+            node = cfg.clone()
+            if weights:
+                node.defrost()
+                node.MODEL.WEIGHT = weights
+            self.predictor = build_predictor_from_cfg(
+                node, confidence_threshold=confidence_threshold)
+            self.predictor.min_image_size = min_image_size
+        else:
+            if weights is None and cfg is not None:
+                try:
+                    weights = cfg.MODEL.WEIGHT or None
+                except (AttributeError, KeyError):
+                    weights = None
+            self.predictor = MaskRCNNPredictor(
+                weights=weights, confidence_threshold=confidence_threshold,
+                min_image_size=min_image_size)
         self.confidence_threshold = confidence_threshold
 
     def compute_prediction(self, image_bgr: np.ndarray) -> dict:
