@@ -48,3 +48,61 @@ def test_measure_throughput():
     x = jnp.ones((8, 8))
     ips, ms = measure_throughput(f, x, iters=5, warmup=1, items_per_call=8)
     assert ips > 0 and ms > 0
+
+
+def test_yolact_sharded_eval_matches_single_device(rng):
+    """--devices=all path: identical detections 1-dev vs 8-dev virtual mesh
+    (VERDICT r1 #7)."""
+    import jax.numpy as jnp
+
+    from tpuseg.engine.yolact_engine import YolactPredictor
+    from tpuseg.models import yolact as Y
+
+    cfg = Y.YolactConfig(img_size=128, num_classes=5, nms_top_k=8,
+                         max_num_detections=5)
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = rng.integers(0, 255, (8, 128, 128, 3)).astype(np.uint8)
+
+    p1 = YolactPredictor(cfg, params=params, batch_size=8)
+    p8 = YolactPredictor(cfg, params=params, batch_size=8, devices="all")
+    assert p8.n_devices == 8
+    out1 = p1.run_batch(imgs)
+    out8 = p8.run_batch(imgs)
+    assert set(out1) == set(out8)
+    v1, v8 = out1["valid"], out8["valid"]
+    np.testing.assert_array_equal(v1, v8)
+    for k in ("boxes", "scores", "classes", "masks"):
+        # invalid padded slots hold garbage (class-offset NMS coords) — only
+        # valid detections are the contract
+        np.testing.assert_allclose(out1[k][v1], out8[k][v8], rtol=5e-3,
+                                   atol=1e-4, err_msg=k)
+
+
+def test_maskrcnn_sharded_eval_matches_single_device(rng, monkeypatch):
+    import tpuseg.engine.maskrcnn_engine as ME
+    from tpuseg.models import maskrcnn as M
+
+    monkeypatch.setattr(ME, "CANVAS_LANDSCAPE", (64, 128))
+    monkeypatch.setattr(ME, "CANVAS_PORTRAIT", (128, 64))
+    cfg = M.MaskRCNNConfig(
+        rpn_pre_nms_top_n=32, rpn_post_nms_top_n=32, fpn_post_nms_top_n=16,
+        detections_per_img=4, pre_final_nms_topk=64, num_classes=5)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    imgs = [rng.integers(0, 255, (50, 75, 3)).astype(np.uint8)
+            for _ in range(8)]
+
+    p1 = ME.MaskRCNNPredictor(cfg=cfg, params=params, batch_size=8,
+                              min_image_size=48)
+    p8 = ME.MaskRCNNPredictor(cfg=cfg, params=params, batch_size=8,
+                              devices="all", min_image_size=48)
+    r1 = p1.run_on_bgr_images(imgs)
+    r8 = p8.run_on_bgr_images(imgs)
+    for a, b in zip(r1, r8):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-4,
+                                       err_msg=k)
+    # odd-size batch exercises the pad-to-devices path
+    r5 = p8.run_on_bgr_images(imgs[:5])
+    for a, b in zip(r1[:5], r5):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-4)

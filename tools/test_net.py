@@ -15,6 +15,8 @@ def main():
     ap.add_argument("--annotations", default=None, help="instances json")
     ap.add_argument("--max_images", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--devices", default=None,
+                    help="'all' or N: shard the eval batch across devices")
     ap.add_argument("opts", nargs=argparse.REMAINDER,
                     help="dotted config overrides, e.g. MODEL.WEIGHT path")
     args = ap.parse_args()
@@ -34,7 +36,8 @@ def main():
         cfg.merge_from_list(args.opts)
 
     # dispatches FPN vs C4 on MODEL.BACKBONE.CONV_BODY
-    predictor = build_predictor_from_cfg(cfg)
+    predictor = build_predictor_from_cfg(
+        cfg, devices=args.devices, batch_size=args.batch_size)
     dataset = CocoDetectionDataset(
         cfg.DATASETS.IMAGES, cfg.DATASETS.ANNOTATIONS, label_map=None)
     evaluate_coco(predictor, dataset, max_images=args.max_images,

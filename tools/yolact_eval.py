@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--output_coco_json", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--devices", default=None,
+                    help="'all' or N: shard the eval batch across devices")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -56,7 +58,8 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     bs = 1 if (args.image or args.images) else args.batch_size
     predictor = YolactPredictor(mcfg, weights=args.trained_model,
-                                batch_size=bs, dtype=dtype)
+                                batch_size=bs, dtype=dtype,
+                                devices=args.devices)
     print(f"config: {cfg_name}  backbone: {mcfg.backbone}  "
           f"weights: {args.trained_model or '(random init)'}")
 

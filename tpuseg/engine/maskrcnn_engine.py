@@ -51,7 +51,7 @@ class MaskRCNNPredictor:
     def __init__(self, cfg=None, params=None,
                  weights: str | None = None, batch_size: int = 1,
                  confidence_threshold: float = 0.5, min_image_size: int = 800,
-                 dtype=jnp.float32, variant: str = "fpn"):
+                 dtype=jnp.float32, variant: str = "fpn", devices=None):
         if variant == "c4":
             from tpuseg.models import maskrcnn_c4 as C4
 
@@ -78,15 +78,34 @@ class MaskRCNNPredictor:
         mcfg = self.cfg
         mod = self._mod
 
+        from tpuseg.engine.yolact_engine import _resolve_devices
+
+        self.n_devices = _resolve_devices(devices)
+        if self.n_devices > 1:
+            assert batch_size % self.n_devices == 0, (
+                f"batch_size {batch_size} must divide across "
+                f"{self.n_devices} devices")
+
         def make_run(canvas_hw):
-            @jax.jit
             def run(params, images, image_hw):
                 out = mod.forward_inference(
                     params, images.astype(dtype), image_hw, mcfg)
                 return {k: v.astype(jnp.float32) if v.dtype != jnp.bool_
                         and jnp.issubdtype(v.dtype, jnp.floating) else v
                         for k, v in out.items()}
-            return run
+
+            if self.n_devices > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from tpuseg.parallel.mesh import make_mesh
+
+                mesh = make_mesh(self.n_devices)
+                rep = NamedSharding(mesh, P())
+                bsh = NamedSharding(mesh, P("data"))
+                self.params = jax.device_put(self.params, rep)
+                return jax.jit(run, in_shardings=(rep, bsh, bsh),
+                               out_shardings=bsh)
+            return jax.jit(run)
 
         self._make_run = make_run
 
@@ -112,8 +131,14 @@ class MaskRCNNPredictor:
         shapes = {c.shape for c in canvases}
         assert len(shapes) == 1, "batch must share one canvas orientation"
         run = self._run_for(canvases[0].shape[:2])
-        out = run(self.params, jnp.asarray(np.stack(canvases)),
-                  jnp.asarray(hws, jnp.int32))
+        batch = np.stack(canvases)
+        hws_np = np.asarray(hws, np.int32)
+        pad = (-len(batch)) % self.n_devices
+        if pad:  # sharded batch dim must divide across devices
+            batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+            hws_np = np.concatenate(
+                [hws_np, np.ones((pad, 2), np.int32)])
+        out = run(self.params, jnp.asarray(batch), jnp.asarray(hws_np))
         out = {k: np.asarray(v) for k, v in out.items()}
         results = []
         for i, img in enumerate(imgs_bgr):

@@ -22,9 +22,13 @@ from tpuseg.models import yolact as yolact_model
 
 
 class YolactPredictor:
+    """``devices``: None/1 = single device; "all" or an int = shard the
+    batch across that many devices (data-parallel eval over ICI; the
+    jt.mpi-style DP row of SURVEY §2.7). Batch size must divide evenly."""
+
     def __init__(self, cfg: yolact_model.YolactConfig, params=None,
                  weights: str | None = None, batch_size: int = 1,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, devices=None):
         self.cfg = cfg
         self.batch_size = batch_size
         self.dtype = dtype
@@ -41,7 +45,6 @@ class YolactPredictor:
         self.priors = jnp.asarray(yolact_model.make_priors_np(cfg), dtype)
         cfg_ = cfg
 
-        @jax.jit
         def _run(params, images_u8):
             from tpuseg.ops.preprocess import yolact_preprocess
 
@@ -52,7 +55,23 @@ class YolactPredictor:
                 preds, jnp.asarray(yolact_model.make_priors_np(cfg_)), cfg_,
                 params_miou=params.get("maskiou"))
 
-        self._run = _run
+        self.n_devices = _resolve_devices(devices)
+        if self.n_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tpuseg.parallel.mesh import make_mesh
+
+            mesh = make_mesh(self.n_devices)
+            rep = NamedSharding(mesh, P())
+            bsh = NamedSharding(mesh, P("data"))
+            assert batch_size % self.n_devices == 0, (
+                f"batch_size {batch_size} must divide across "
+                f"{self.n_devices} devices")
+            self.params = jax.device_put(self.params, rep)
+            self._run = jax.jit(_run, in_shardings=(rep, bsh),
+                                out_shardings=bsh)
+        else:
+            self._run = jax.jit(_run)
 
     def run_batch(self, images_550_u8: np.ndarray) -> dict:
         """[B,550,550,3] uint8 RGB -> detection dict (numpy)."""
@@ -88,6 +107,15 @@ class YolactPredictor:
             "classes": classes,
             "masks": masks,
         }
+
+
+def _resolve_devices(devices) -> int:
+    """None/1 -> 1; "all" -> every visible device; int/str -> that many."""
+    if devices in (None, 1, "1"):
+        return 1
+    if devices == "all":
+        return len(jax.devices())
+    return int(devices)
 
 
 def load_yolact_weights(path: str, cfg: yolact_model.YolactConfig) -> dict:
