@@ -124,13 +124,18 @@ def encode_boxes(
     (maskrcnn-benchmark BoxCoder.encode uses TO_REMOVE=1).
     """
     wx, wy, ww, wh = weights
-    ex_w = anchors[..., 2] - anchors[..., 0] + 1.0
-    ex_h = anchors[..., 3] - anchors[..., 1] + 1.0
+    # eps clamp: degenerate boxes (decoded width underflows to 0) can be
+    # sampled as NEGATIVES whose encoding is never used in the loss, but an
+    # inf here would poison gradients through the 0-masked rows (0 * inf).
+    # Positives always have IoU >= 0.5 with a gt, so the clamp never binds
+    # on a row that matters (upstream gathers positive rows only).
+    ex_w = jnp.maximum(anchors[..., 2] - anchors[..., 0] + 1.0, 1e-6)
+    ex_h = jnp.maximum(anchors[..., 3] - anchors[..., 1] + 1.0, 1e-6)
     ex_cx = anchors[..., 0] + 0.5 * ex_w
     ex_cy = anchors[..., 1] + 0.5 * ex_h
 
-    gt_w = boxes[..., 2] - boxes[..., 0] + 1.0
-    gt_h = boxes[..., 3] - boxes[..., 1] + 1.0
+    gt_w = jnp.maximum(boxes[..., 2] - boxes[..., 0] + 1.0, 1e-6)
+    gt_h = jnp.maximum(boxes[..., 3] - boxes[..., 1] + 1.0, 1e-6)
     gt_cx = boxes[..., 0] + 0.5 * gt_w
     gt_cy = boxes[..., 1] + 0.5 * gt_h
 

@@ -218,8 +218,12 @@ def rpn_proposals(
             return boxes
 
         boxes = jax.vmap(per_image)(dl, idx, image_hw)
-        nonempty = box_ops.nonempty_mask(boxes, cfg.rpn_min_size)
-        valid = top_valid & nonempty
+        # upstream remove_small_boxes uses +1 extents (ws = x2-x1+1 >= min):
+        # at the shipped MIN_SIZE=0 every clipped box is kept, incl.
+        # degenerate ones — matching boxlist_ops.remove_small_boxes
+        w1 = boxes[..., 2] - boxes[..., 0] + 1.0
+        h1 = boxes[..., 3] - boxes[..., 1] + 1.0
+        valid = top_valid & (w1 >= cfg.rpn_min_size) & (h1 >= cfg.rpn_min_size)
         scores = jnp.take_along_axis(obj, idx, axis=1)
 
         keep = nms_ops.nms_mask_batch(
@@ -319,12 +323,9 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         decoded = decoded.reshape(p, cfg.num_classes, 4)[:, 1:, :]
         decoded = box_ops.clip_to_image(decoded, hw[0] - 1, hw[1] - 1)
         cls_scores = sc[:, 1:]  # [P, 80]
-        nonempty = box_ops.nonempty_mask(decoded)
-        cand_valid = (
-            props_valid[:, None]
-            & (cls_scores > cfg.score_thresh)
-            & nonempty
-        )
+        # upstream PostProcessor clips with remove_empty=False and filters
+        # on score only (inference.py filter_results) — no size filter
+        cand_valid = props_valid[:, None] & (cls_scores > cfg.score_thresh)
         flat_s = cls_scores.reshape(-1)
         flat_b = decoded.reshape(-1, 4)
         flat_c = jnp.tile(jnp.arange(cfg.num_classes - 1), (p,))
