@@ -74,7 +74,11 @@ def test_config_zoo_parses_and_dispatches():
         cfg.merge_from_file(path)
         pred = build_predictor_from_cfg(cfg)
         name = os.path.basename(path)
-        if "C4" in name:
+        if "retinanet" in name:
+            assert pred.variant == "retinanet"
+            assert pred.cfg.nms_thresh == 0.4
+            assert pred.cfg.pre_nms_top_n == 1000
+        elif "C4" in name:
             assert pred.variant == "c4"
             assert pred.cfg.rpn_pre_nms_top_n == 6000  # README.md:267
             assert pred.cfg.rpn_post_nms_top_n == 1000  # README.md:268
@@ -82,6 +86,12 @@ def test_config_zoo_parses_and_dispatches():
             assert pred.variant == "fpn"
             assert pred.cfg.fpn_post_nms_top_n == 1000
         assert pred.cfg.depth == (101 if "R_101" in name else 50)
+        # MASK_ON dispatch: faster_rcnn yamls build boxes-only models
+        if "retinanet" not in name:
+            assert pred.cfg.mask_on == ("faster" not in name)
+            if not pred.cfg.mask_on:
+                key = "mask_pred" if pred.variant == "c4" else "mask_head"
+                assert key not in pred.params
 
 
 def test_cocodemo_c4_dispatch(tmp_path):

@@ -277,3 +277,100 @@ def test_c4_weight_mapping_shapes():
     want = {jax.tree_util.keystr(k): v.shape
             for k, v in jax.tree_util.tree_leaves_with_path(init)}
     assert got == want
+
+
+def test_faster_rcnn_boxes_only():
+    """MASK_ON False (e2e_faster_rcnn_* family): no mask head anywhere —
+    params, inference output, and train losses."""
+    from tpuseg.models import maskrcnn_loss as ML
+
+    cfg = M.MaskRCNNConfig(
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=64, fpn_post_nms_top_n=32,
+        rpn_pre_nms_top_n_train=64, fpn_post_nms_top_n_train=32,
+        detections_per_img=8, pre_final_nms_topk=128, num_classes=5,
+        mask_on=False)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    assert "mask_head" not in params
+    images = jnp.zeros((1, 128, 192, 3))
+    hw = jnp.asarray([[100, 150]], jnp.int32)
+    out = jax.jit(lambda p, im, hw: M.forward_inference(p, im, hw, cfg))(
+        params, images, hw)
+    assert "masks" not in out
+    assert out["boxes"].shape == (1, 8, 4)
+
+    targets = {
+        "boxes": jnp.asarray([[[10.0, 10, 60, 60], [0, 0, 0, 0]]]),
+        "classes": jnp.asarray([[1, -1]], jnp.int32),
+        "mask_crops": jnp.zeros((1, 2, 28, 28)),
+    }
+    loss_cfg = ML.MaskRCNNLossConfig(
+        num_classes=cfg.num_classes, roi_batch_per_image=16)
+    losses = jax.jit(
+        lambda p: M.forward_train_losses(
+            p, images, hw, targets, jax.random.PRNGKey(1), cfg, loss_cfg)
+    )(params)
+    assert "loss_mask" not in losses
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_faster_rcnn_weight_map_skips_mask_head():
+    """A boxes-only checkpoint (no roi_heads.mask.* keys) loads under
+    mask_on=False and the shapes match init."""
+    from tpuseg.weights.detectron_map import from_torch_state
+
+    cfg = M.MaskRCNNConfig(mask_on=False)
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv(name, cout, cin, k, bias=True):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    def bn(name, c):
+        for suf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{name}.{suf}"] = rng.standard_normal(c).astype(np.float32)
+
+    def lin(name, cout, cin):
+        sd[f"{name}.weight"] = rng.standard_normal(
+            (cout, cin)).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32)
+
+    conv("backbone.body.stem.conv1", 64, 3, 7, bias=False)
+    bn("backbone.body.stem.bn1", 64)
+    cin = 64
+    for si, nb in enumerate((3, 4, 6, 3)):
+        mid = 64 * 2**si
+        cout = mid * 4
+        for bi in range(nb):
+            base = f"backbone.body.layer{si+1}.{bi}"
+            conv(f"{base}.conv1", mid, cin if bi == 0 else cout, 1, bias=False)
+            bn(f"{base}.bn1", mid)
+            conv(f"{base}.conv2", mid, mid, 3, bias=False)
+            bn(f"{base}.bn2", mid)
+            conv(f"{base}.conv3", cout, mid, 1, bias=False)
+            bn(f"{base}.bn3", cout)
+            if bi == 0:
+                conv(f"{base}.downsample.0", cout, cin, 1, bias=False)
+                bn(f"{base}.downsample.1", cout)
+        cin = cout
+    for i, c in enumerate((256, 512, 1024, 2048), 1):
+        conv(f"backbone.fpn.fpn_inner{i}", 256, c, 1)
+        conv(f"backbone.fpn.fpn_layer{i}", 256, 256, 3)
+    conv("rpn.head.conv", 256, 256, 3)
+    conv("rpn.head.cls_logits", 3, 256, 1)
+    conv("rpn.head.bbox_pred", 12, 256, 1)
+    lin("roi_heads.box.feature_extractor.fc6", 1024, 256 * 49)
+    lin("roi_heads.box.feature_extractor.fc7", 1024, 1024)
+    lin("roi_heads.box.predictor.cls_score", 81, 1024)
+    lin("roi_heads.box.predictor.bbox_pred", 324, 1024)
+
+    tree = from_torch_state(sd, cfg)
+    assert "mask_head" not in tree
+    init = M.init_params(jax.random.PRNGKey(0), cfg)
+    got = {jax.tree_util.keystr(k): v.shape
+           for k, v in jax.tree_util.tree_leaves_with_path(tree)}
+    want = {jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(init)}
+    assert got == want

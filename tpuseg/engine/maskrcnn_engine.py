@@ -57,6 +57,11 @@ class MaskRCNNPredictor:
 
             self._mod = C4
             self.cfg = cfg or C4.MaskRCNNC4Config()
+        elif variant == "retinanet":
+            from tpuseg.models import retinanet as RN
+
+            self._mod = RN
+            self.cfg = cfg or RN.RetinaNetConfig()
         else:
             self._mod = M
             self.cfg = cfg or M.MaskRCNNConfig()
@@ -150,13 +155,14 @@ class MaskRCNNPredictor:
             boxes[:, 1::2] /= sy
             boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, w - 1)
             boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, h - 1)
-            masks = paste_masks(out["masks"][i][valid], boxes, h, w)
-            results.append({
+            res = {
                 "boxes": boxes,
                 "scores": out["scores"][i][valid],
                 "classes": out["classes"][i][valid],
-                "masks": masks,
-            })
+            }
+            if "masks" in out:  # absent for Faster R-CNN (MASK_ON False)
+                res["masks"] = paste_masks(out["masks"][i][valid], boxes, h, w)
+            results.append(res)
         return results
 
     def select_top_predictions(self, preds: dict) -> dict:
@@ -173,6 +179,10 @@ def load_detectron_weights(path: str, cfg, variant: str = "fpn") -> dict:
         from tpuseg.models.maskrcnn_c4 import from_torch_state as c4_map
 
         return c4_map(flat, cfg)
+    if variant == "retinanet":
+        from tpuseg.models.retinanet import from_torch_state as rn_map
+
+        return rn_map(flat, cfg)
     from tpuseg.weights.detectron_map import from_torch_state
 
     return from_torch_state(flat, cfg)
@@ -203,6 +213,20 @@ def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
     num_classes = int(get("MODEL.ROI_BOX_HEAD.NUM_CLASSES", 81))
     weights = get("MODEL.WEIGHT", "") or None
     min_size = int(get("INPUT.MIN_SIZE_TEST", 800))
+    mask_on = bool(get("MODEL.MASK_ON", True))  # False -> Faster R-CNN
+    if get("MODEL.META_ARCHITECTURE", "GeneralizedRCNN") == "RetinaNet":
+        from tpuseg.models.retinanet import RetinaNetConfig
+
+        cfg = RetinaNetConfig(
+            depth=101 if "101" in conv_body else 50,
+            num_classes=int(get("MODEL.RETINANET.NUM_CLASSES", num_classes)),
+            pre_nms_top_n=int(get("MODEL.RETINANET.PRE_NMS_TOP_N", 1000)),
+            score_thresh=float(get("MODEL.RETINANET.INFERENCE_TH", 0.05)),
+            nms_thresh=float(get("MODEL.RETINANET.NMS_TH", 0.4)),
+        )
+        return MaskRCNNPredictor(cfg=cfg, weights=weights,
+                                 variant="retinanet",
+                                 min_image_size=min_size, **kw)
     if conv_body.endswith("-C4"):
         from tpuseg.models.maskrcnn_c4 import MaskRCNNC4Config
 
@@ -211,6 +235,7 @@ def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
             rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 6000)),
             rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
             num_classes=num_classes,
+            mask_on=mask_on,
         )
         return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="c4",
                                  min_image_size=min_size, **kw)
@@ -220,6 +245,7 @@ def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
         rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
         fpn_post_nms_top_n=int(get("MODEL.RPN.FPN_POST_NMS_TOP_N_TEST", 1000)),
         num_classes=num_classes,
+        mask_on=mask_on,
     )
     return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="fpn",
                              min_image_size=min_size, **kw)
@@ -312,14 +338,16 @@ def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
         for iid, preds in zip(batch_ids, preds_list):
             for i in range(len(preds["scores"])):
                 x1, y1, x2, y2 = preds["boxes"][i]
-                results.append({
+                det = {
                     "image_id": int(iid),
                     "category_id": COCO_CATEGORY_IDS[int(preds["classes"][i])],
                     "bbox": [float(x1), float(y1), float(x2 - x1 + 1),
                              float(y2 - y1 + 1)],
                     "score": float(preds["scores"][i]),
-                    "segmentation": rle_mod.encode(preds["masks"][i]),
-                })
+                }
+                if "masks" in preds:
+                    det["segmentation"] = rle_mod.encode(preds["masks"][i])
+                results.append(det)
             n += 1
             if progress and n % 20 == 0:
                 print(
@@ -341,7 +369,8 @@ def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
     if progress:
         print()
     stats = {}
-    for iou_type in ("bbox", "segm"):
+    has_masks = any("segmentation" in r for r in results)
+    for iou_type in ("bbox", "segm") if has_masks else ("bbox",):
         print(f"== {iou_type} ==")
         E = COCOeval(dataset.coco, dataset.coco.loadRes(results), iou_type)
         E.evaluate()

@@ -60,7 +60,9 @@ class MaskRCNNConfig:
     box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
     pre_final_nms_topk: int = 2048  # static cap on class-box candidates
     approx_topk: bool = False  # approx_max_k option (no gain measured here)
-    # mask head
+    # mask head; mask_on=False is the Faster R-CNN configuration
+    # (MODEL.MASK_ON in the reference's e2e_faster_rcnn_*.yaml family)
+    mask_on: bool = True
     mask_resolution: int = 14
     mask_out: int = 28
     fpn_channels: int = 256
@@ -349,6 +351,17 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     det_boxes, det_scores, det_classes, det_valid = jax.vmap(
         per_image_final)(cboxes, top_s, cclasses, keep)
 
+    out = {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": det_classes,  # 0-based (no background)
+        "valid": det_valid,
+        "proposals": proposals,
+        "proposal_valid": p_valid,
+    }
+    if not cfg.mask_on:  # Faster R-CNN: boxes only
+        return out
+
     # ---- mask head on the detections
     d = cfg.detections_per_img
     flat_det = det_boxes.reshape(b * d, 4)
@@ -362,16 +375,8 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     cls_idx = det_classes + 1  # logits include background channel
     masks = jnp.take_along_axis(
         mask_logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
-    masks = jax.nn.sigmoid(masks)
-    return {
-        "boxes": det_boxes,
-        "scores": det_scores,
-        "classes": det_classes,  # 0-based (no background)
-        "masks": masks,  # [B, 100, 28, 28] probabilities
-        "valid": det_valid,
-        "proposals": proposals,
-        "proposal_valid": p_valid,
-    }
+    out["masks"] = jax.nn.sigmoid(masks)  # [B, 100, 28, 28] probabilities
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -444,23 +449,26 @@ def forward_train_losses(
         cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32),
         flat_sample, loss_cfg))
 
-    # mask head on the sampled rois
-    mask_pooled = pooled_roi_features(
-        pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
-        cfg.pooler_sampling_ratio)
-    mask_logits = mask_head(params["mask_head"], mask_pooled)
+    # mask head on the sampled rois (skipped in the Faster R-CNN config)
+    if cfg.mask_on:
+        mask_pooled = pooled_roi_features(
+            pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
+            cfg.pooler_sampling_ratio)
+        mask_logits = mask_head(params["mask_head"], mask_pooled)
 
-    def per_image_targets(rois, gt_idx, gb, crops):
-        return ML.mask_targets_from_crops(
-            rois, gt_idx, gb, crops, cfg.mask_out)
+        def per_image_targets(rois, gt_idx, gb, crops):
+            return ML.mask_targets_from_crops(
+                rois, gt_idx, gb, crops, cfg.mask_out)
 
-    t28 = jax.vmap(per_image_targets)(
-        sample["boxes"], sample["gt_idx"], gt_boxes, targets["mask_crops"])
-    losses.update(ML.mask_head_loss(
-        mask_logits.astype(jnp.float32).reshape(
-            b * s, cfg.mask_out, cfg.mask_out, cfg.num_classes),
-        flat_sample, gt_classes, t28.reshape(b * s, cfg.mask_out, cfg.mask_out),
-        loss_cfg))
+        t28 = jax.vmap(per_image_targets)(
+            sample["boxes"], sample["gt_idx"], gt_boxes,
+            targets["mask_crops"])
+        losses.update(ML.mask_head_loss(
+            mask_logits.astype(jnp.float32).reshape(
+                b * s, cfg.mask_out, cfg.mask_out, cfg.num_classes),
+            flat_sample, gt_classes,
+            t28.reshape(b * s, cfg.mask_out, cfg.mask_out),
+            loss_cfg))
     losses["total"] = sum(losses.values())
     return losses
 
@@ -478,7 +486,7 @@ def init_params(key: jax.Array, cfg: MaskRCNNConfig, dtype=jnp.float32) -> dict:
     na = len(cfg.anchor_ratios)
     nc = cfg.num_classes
     pr = cfg.pooler_resolution
-    return {
+    params = {
         "backbone": resnet_nn.init_params(next(keys), rcfg, dtype),
         "fpn": fpn_nn.fpn_init(next(keys), (256, 512, 1024, 2048), fc, dtype),
         "rpn": {
@@ -492,7 +500,9 @@ def init_params(key: jax.Array, cfg: MaskRCNNConfig, dtype=jnp.float32) -> dict:
             "cls_score": L.linear_params(next(keys), 1024, nc, dtype=dtype),
             "bbox_pred": L.linear_params(next(keys), 1024, nc * 4, dtype=dtype),
         },
-        "mask_head": {
+    }
+    if cfg.mask_on:
+        params["mask_head"] = {
             **{
                 f"mask_fcn{i}": L.conv_params(next(keys), 3, 3, fc, fc, dtype=dtype)
                 for i in range(1, 5)
@@ -502,5 +512,5 @@ def init_params(key: jax.Array, cfg: MaskRCNNConfig, dtype=jnp.float32) -> dict:
                 "bias": jnp.zeros((fc,), dtype),
             },
             "mask_fcn_logits": L.conv_params(next(keys), 1, 1, fc, nc, dtype=dtype),
-        },
-    }
+        }
+    return params

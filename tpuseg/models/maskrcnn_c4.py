@@ -43,6 +43,7 @@ class MaskRCNNC4Config:
     detections_per_img: int = 100
     box_reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
     pre_final_nms_topk: int = 2048
+    mask_on: bool = True  # False = Faster R-CNN C4 (e2e_faster_rcnn_R_50_C4)
     mask_out: int = 14
 
 
@@ -147,6 +148,17 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     det_boxes, det_scores, det_classes, det_valid = jax.vmap(per_image)(
         proposals, p_valid, scores, box_deltas, image_hw)
 
+    out = {
+        "boxes": det_boxes,
+        "scores": det_scores,
+        "classes": det_classes,
+        "valid": det_valid,
+        "proposals": proposals,
+        "proposal_valid": p_valid,
+    }
+    if not cfg.mask_on:  # Faster R-CNN C4: boxes only
+        return out
+
     # mask head: res5 again on kept detections, deconv + 1x1
     d = cfg.detections_per_img
     flat_det = det_boxes.reshape(b * d, 4)
@@ -163,15 +175,8 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
                                       cfg.num_classes)
     masks = jnp.take_along_axis(
         mask_logits, (det_classes + 1)[:, :, None, None, None], axis=-1)[..., 0]
-    return {
-        "boxes": det_boxes,
-        "scores": det_scores,
-        "classes": det_classes,
-        "masks": jax.nn.sigmoid(masks.astype(jnp.float32)),
-        "valid": det_valid,
-        "proposals": proposals,
-        "proposal_valid": p_valid,
-    }
+    out["masks"] = jax.nn.sigmoid(masks.astype(jnp.float32))
+    return out
 
 
 def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
@@ -181,7 +186,7 @@ def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
     full = resnet_nn.init_params(next(keys), rcfg, dtype)
     backbone = {k: full[k] for k in ("stem", "layer1", "layer2", "layer3")}
     na = len(cfg.anchor_sizes) * len(cfg.anchor_ratios)
-    return {
+    params = {
         "backbone": backbone,
         "roi_head": {"layer4": full["layer4"]},
         "rpn": {
@@ -195,7 +200,9 @@ def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
             "bbox_pred": L.linear_params(next(keys), 2048,
                                          cfg.num_classes * 4, dtype=dtype),
         },
-        "mask_pred": {
+    }
+    if cfg.mask_on:
+        params["mask_pred"] = {
             "conv5_mask": {
                 "weight": jax.random.normal(
                     next(keys), (2, 2, 2048, 256), dtype) * 0.01,
@@ -203,8 +210,8 @@ def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
             },
             "mask_fcn_logits": L.conv_params(next(keys), 1, 1, 256,
                                              cfg.num_classes, dtype=dtype),
-        },
-    }
+        }
+    return params
 
 
 def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
@@ -242,7 +249,7 @@ def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
     for si in range(3):
         backbone[f"layer{si + 1}"] = stage(f"{body}layer{si + 1}", nb[si])
     layer4 = stage("roi_heads.box.feature_extractor.head.layer4", nb[3])
-    return {
+    params = {
         "backbone": backbone,
         "roi_head": {"layer4": layer4},
         "rpn": {
@@ -254,7 +261,9 @@ def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
             "cls_score": _linear(flat, "roi_heads.box.predictor.cls_score"),
             "bbox_pred": _linear(flat, "roi_heads.box.predictor.bbox_pred"),
         },
-        "mask_pred": {
+    }
+    if cfg.mask_on:
+        params["mask_pred"] = {
             "conv5_mask": {
                 "weight": np.ascontiguousarray(np.asarray(
                     flat["roi_heads.mask.predictor.conv5_mask.weight"],
@@ -265,5 +274,5 @@ def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
             },
             "mask_fcn_logits": _conv(
                 flat, "roi_heads.mask.predictor.mask_fcn_logits"),
-        },
-    }
+        }
+    return params

@@ -108,26 +108,29 @@ def from_torch_state(flat: dict, cfg: MaskRCNNConfig) -> dict:
         "cls_score": _linear(flat, "roi_heads.box.predictor.cls_score"),
         "bbox_pred": _linear(flat, "roi_heads.box.predictor.bbox_pred"),
     }
-    deconv_w = np.asarray(
-        flat["roi_heads.mask.predictor.conv5_mask.weight"], np.float32)
-    mask_headp = {
-        **{
-            f"mask_fcn{i}": _conv(
-                flat, f"roi_heads.mask.feature_extractor.mask_fcn{i}")
-            for i in range(1, 5)
-        },
-        "conv5_mask": {
-            # torch ConvTranspose2d [in, out, kh, kw] -> [kh, kw, in, out]
-            "weight": np.ascontiguousarray(deconv_w.transpose(2, 3, 0, 1)),
-            "bias": np.asarray(
-                flat["roi_heads.mask.predictor.conv5_mask.bias"], np.float32),
-        },
-        "mask_fcn_logits": _conv(flat, "roi_heads.mask.predictor.mask_fcn_logits"),
-    }
-    return {
+    params = {
         "backbone": backbone,
         "fpn": fpn,
         "rpn": rpn,
         "box_head": box_headp,
-        "mask_head": mask_headp,
     }
+    if cfg.mask_on:  # Faster R-CNN checkpoints carry no mask head
+        deconv_w = np.asarray(
+            flat["roi_heads.mask.predictor.conv5_mask.weight"], np.float32)
+        params["mask_head"] = {
+            **{
+                f"mask_fcn{i}": _conv(
+                    flat, f"roi_heads.mask.feature_extractor.mask_fcn{i}")
+                for i in range(1, 5)
+            },
+            "conv5_mask": {
+                # torch ConvTranspose2d [in, out, kh, kw] -> [kh, kw, in, out]
+                "weight": np.ascontiguousarray(deconv_w.transpose(2, 3, 0, 1)),
+                "bias": np.asarray(
+                    flat["roi_heads.mask.predictor.conv5_mask.bias"],
+                    np.float32),
+            },
+            "mask_fcn_logits": _conv(
+                flat, "roi_heads.mask.predictor.mask_fcn_logits"),
+        }
+    return params
