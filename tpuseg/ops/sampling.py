@@ -171,7 +171,8 @@ def roi_align(
     return out.reshape(nchunks * chunk, p, p, c)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("output_size", "chunk"))
+@functools.partial(jax.jit,
+                   static_argnames=("output_size", "chunk", "oversample"))
 def roi_pool(
     features: jax.Array,
     rois: jax.Array,
@@ -179,56 +180,79 @@ def roi_pool(
     output_size: int = 7,
     spatial_scale: float = 1.0,
     chunk: int = 256,
+    oversample: int | None = None,
 ) -> jax.Array:
     """RoIPool (max pooling; C4 models). Same I/O contract as roi_align.
 
-    Follows ROIPool_cuda.cu: integer bin boundaries via floor/ceil of
-    round(coord*scale), clamped; empty bins yield 0. Implemented as a dense
-    max over a static sample lattice large enough to hit every integer cell
-    (uses 2x the output resolution samples then max — exactness is guaranteed
-    by evaluating on all integer positions via nearest gather).
+    Follows ROIPool_cuda.cu exactly: integer bin boundaries
+    ``[floor(b*bin) .. ceil((b+1)*bin))`` offset by the rounded RoI origin
+    and clamped; empty bins yield 0. Each bin evaluates a static lattice of
+    ``oversample`` candidate cells per axis with out-of-bin cells masked to
+    -inf before the max — exact iff every bin spans <= oversample cells.
+    The default derives oversample from the static feature extent
+    (``ceil(max(h, w)/output_size) + 2`` covers even an image-spanning
+    RoI's widest bin), so results are exact for every RoI. Pass a smaller
+    value only as an explicit speed/exactness trade.
     """
     b, h, w, c = features.shape
     n = rois.shape[0]
     p = output_size
     feat_flat = features.reshape(b * h * w, c)
 
-    x1 = jnp.round(rois[:, 0] * spatial_scale)
-    y1 = jnp.round(rois[:, 1] * spatial_scale)
-    x2 = jnp.round(rois[:, 2] * spatial_scale)
-    y2 = jnp.round(rois[:, 3] * spatial_scale)
-    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
-    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
-    bin_w = roi_w / p
-    bin_h = roi_h / p
+    x1 = jnp.round(rois[:, 0] * spatial_scale).astype(jnp.int32)
+    y1 = jnp.round(rois[:, 1] * spatial_scale).astype(jnp.int32)
+    x2 = jnp.round(rois[:, 2] * spatial_scale).astype(jnp.int32)
+    y2 = jnp.round(rois[:, 3] * spatial_scale).astype(jnp.int32)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
 
-    # static lattice: S samples per bin axis; S chosen so every integer cell
-    # inside a bin is sampled as long as bin extent <= S. Feature maps are
-    # <= 2048 wide, so S = ceil(max_extent / p) would be data-dependent;
-    # instead sample the bin densely at S points and take nearest cells —
-    # exact when bin size <= S, which holds for the shipped C4 configs
-    # (14x14 output on <=50px bins). S is configurable via output oversample.
-    s = 8
-    grid = (jnp.arange(p * s, dtype=features.dtype)) / s  # bin units
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
-    ys = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
-    xs = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    # widest possible bin = ceil(extent/p) + 1 cells (floor/ceil boundary
+    # expansion); +1 more for slack — all static, derived from the feature
+    # shape
+    s = oversample if oversample is not None else (-(-max(h, w) // p) + 2)
+    bins = jnp.arange(p, dtype=jnp.int32)
+    k = jnp.arange(s)
+
+    def axis_lattice(start, roi_sz, extent):
+        # [N, P] clamped integer bin boundaries. floor(b*sz/p) and
+        # ceil((b+1)*sz/p) over integer sz are computed in exact integer
+        # arithmetic (float eval is unstable: XLA's fused f32 contraction
+        # can land (b+1)*sz/p just above an integer and ceil one row too
+        # far — observed on the CPU backend)
+        lo = jnp.clip(bins[None, :] * roi_sz[:, None] // p
+                      + start[:, None], 0, extent)
+        hi = jnp.clip(-((-(bins[None, :] + 1) * roi_sz[:, None]) // p)
+                      + start[:, None], 0, extent)
+        idx = lo[:, :, None] + k[None, None, :]  # [N, P, S]
+        valid = k[None, None, :] < (hi - lo)[:, :, None]
+        return jnp.clip(idx, 0, extent - 1).astype(jnp.int32), valid
+
+    ys, yv = axis_lattice(y1, roi_h, h)  # [N, P, S]
+    xs, xv = axis_lattice(x1, roi_w, w)
+    ys = ys.reshape(n, p * s)
+    xs = xs.reshape(n, p * s)
+    yv = yv.reshape(n, p * s)
+    xv = xv.reshape(n, p * s)
 
     def one_chunk(args):
-        ys_c, xs_c, bi_c = args
+        ys_c, xs_c, yv_c, xv_c, bi_c = args
         lin = (
             bi_c[:, None, None] * (h * w)
             + ys_c[:, :, None] * w
             + xs_c[:, None, :]
         )  # [nc, PS, PS]
         g = jnp.take(feat_flat, lin, axis=0)  # [nc, PS, PS, C]
+        m = (yv_c[:, :, None] & xv_c[:, None, :])[..., None]
+        g = jnp.where(m, g, -jnp.inf)
         nc = g.shape[0]
-        return g.reshape(nc, p, s, p, s, c).max(axis=(2, 4))
+        out = g.reshape(nc, p, s, p, s, c).max(axis=(2, 4))
+        return jnp.where(jnp.isfinite(out), out, 0.0)  # empty bins -> 0
 
     pad = (-n) % chunk
     ys_p = jnp.pad(ys, ((0, pad), (0, 0)))
     xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+    yv_p = jnp.pad(yv, ((0, pad), (0, 0)))
+    xv_p = jnp.pad(xv, ((0, pad), (0, 0)))
     bi_p = jnp.pad(batch_idx.astype(jnp.int32), ((0, pad),))
     nchunks = (n + pad) // chunk
     out = jax.lax.map(
@@ -236,6 +260,8 @@ def roi_pool(
         (
             ys_p.reshape(nchunks, chunk, p * s),
             xs_p.reshape(nchunks, chunk, p * s),
+            yv_p.reshape(nchunks, chunk, p * s),
+            xv_p.reshape(nchunks, chunk, p * s),
             bi_p.reshape(nchunks, chunk),
         ),
     )
