@@ -18,7 +18,6 @@ def main():
     from tpuseg.data.coco_dataset import CocoDetectionDataset
     from tpuseg.engine.config import ConfigNode
     from tpuseg.engine.detectron_train_loop import do_train
-    from tpuseg.models.maskrcnn import MaskRCNNConfig
 
     cfg = ConfigNode({
         "MODEL": {"WEIGHT": "", "MASK_ON": True},
@@ -45,7 +44,12 @@ def main():
     dataset = CocoDetectionDataset(images, ann, label_map=None)
     print(f"training on {len(dataset)} images; "
           f"max_iter {cfg.SOLVER.MAX_ITER}")
-    mcfg = MaskRCNNConfig()
+    # honor the yaml's model settings (CONV_BODY depth, MASK_ON, NUM_CLASSES)
+    from tpuseg.engine.maskrcnn_engine import model_config_from_node
+
+    variant, mcfg = model_config_from_node(cfg)
+    assert variant == "fpn", (
+        f"train_net supports the FPN GeneralizedRCNN family; got {variant}")
     params = None
     if cfg.MODEL.WEIGHT:
         from tpuseg.engine.maskrcnn_engine import load_detectron_weights

@@ -193,12 +193,12 @@ def load_detectron_weights(path: str, cfg, variant: str = "fpn") -> dict:
 # ---------------------------------------------------------------------------
 
 
-def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
-    """ConfigNode (merge_from_file'd yaml) -> predictor for its variant.
+def model_config_from_node(node):
+    """ConfigNode (merge_from_file'd yaml) -> (variant, model dataclass).
 
-    Dispatches on MODEL.BACKBONE.CONV_BODY ("R-50-FPN" / "R-101-FPN" /
-    "R-50-C4", README.md:263-284) and applies the RPN top-N and head
-    constants from the yaml onto the model dataclass.
+    Dispatches on MODEL.META_ARCHITECTURE + MODEL.BACKBONE.CONV_BODY
+    ("R-50-FPN" / "R-101-FPN" / "R-50-C4", README.md:263-284) and applies
+    MASK_ON plus the RPN top-N and head constants from the yaml.
     """
     def get(path, default):
         cur = node
@@ -211,43 +211,54 @@ def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
 
     conv_body = get("MODEL.BACKBONE.CONV_BODY", "R-50-FPN")
     num_classes = int(get("MODEL.ROI_BOX_HEAD.NUM_CLASSES", 81))
-    weights = get("MODEL.WEIGHT", "") or None
-    min_size = int(get("INPUT.MIN_SIZE_TEST", 800))
     mask_on = bool(get("MODEL.MASK_ON", True))  # False -> Faster R-CNN
+    depth = 101 if "101" in conv_body else 50
     if get("MODEL.META_ARCHITECTURE", "GeneralizedRCNN") == "RetinaNet":
         from tpuseg.models.retinanet import RetinaNetConfig
 
-        cfg = RetinaNetConfig(
-            depth=101 if "101" in conv_body else 50,
+        return "retinanet", RetinaNetConfig(
+            depth=depth,
             num_classes=int(get("MODEL.RETINANET.NUM_CLASSES", num_classes)),
             pre_nms_top_n=int(get("MODEL.RETINANET.PRE_NMS_TOP_N", 1000)),
             score_thresh=float(get("MODEL.RETINANET.INFERENCE_TH", 0.05)),
             nms_thresh=float(get("MODEL.RETINANET.NMS_TH", 0.4)),
         )
-        return MaskRCNNPredictor(cfg=cfg, weights=weights,
-                                 variant="retinanet",
-                                 min_image_size=min_size, **kw)
     if conv_body.endswith("-C4"):
         from tpuseg.models.maskrcnn_c4 import MaskRCNNC4Config
 
-        cfg = MaskRCNNC4Config(
-            depth=101 if "101" in conv_body else 50,
+        return "c4", MaskRCNNC4Config(
+            depth=depth,
             rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 6000)),
             rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
             num_classes=num_classes,
             mask_on=mask_on,
         )
-        return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="c4",
-                                 min_image_size=min_size, **kw)
-    cfg = M.MaskRCNNConfig(
-        depth=101 if "101" in conv_body else 50,
+    return "fpn", M.MaskRCNNConfig(
+        depth=depth,
         rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 1000)),
         rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
         fpn_post_nms_top_n=int(get("MODEL.RPN.FPN_POST_NMS_TOP_N_TEST", 1000)),
         num_classes=num_classes,
         mask_on=mask_on,
     )
-    return MaskRCNNPredictor(cfg=cfg, weights=weights, variant="fpn",
+
+
+def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
+    """ConfigNode -> predictor for its model variant (see
+    :func:`model_config_from_node`)."""
+    def get(path, default):
+        cur = node
+        for part in path.split("."):
+            try:
+                cur = cur[part]
+            except (KeyError, TypeError):
+                return default
+        return cur
+
+    variant, cfg = model_config_from_node(node)
+    weights = get("MODEL.WEIGHT", "") or None
+    min_size = int(get("INPUT.MIN_SIZE_TEST", 800))
+    return MaskRCNNPredictor(cfg=cfg, weights=weights, variant=variant,
                              min_image_size=min_size, **kw)
 
 

@@ -73,8 +73,11 @@ class COCODemo:
         rng = np.random.default_rng(0)
         for i in range(len(preds["scores"])):
             color = tuple(int(c) for c in rng.integers(60, 255, 3))
-            m = preds["masks"][i].astype(bool)
-            vis[m] = (0.5 * vis[m] + 0.5 * np.asarray(color)).astype(np.uint8)
+            if "masks" in preds:  # absent for boxes-only (faster rcnn /
+                # retinanet) configs
+                m = preds["masks"][i].astype(bool)
+                vis[m] = (0.5 * vis[m] + 0.5 * np.asarray(color)).astype(
+                    np.uint8)
             x1, y1, x2, y2 = preds["boxes"][i].astype(int)
             cv2.rectangle(vis, (x1, y1), (x2, y2), color, 2)
             name = CATEGORIES[int(preds["classes"][i]) + 1]
