@@ -31,11 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
-                 level_span):
+                 level_span, nbuf):
     """level_shapes: list of (H_l, W_l_padded) static per level;
     level_rows/level_span: per-level DMA window bounds (the canonical FPN
     assignment bounds roi extents on levels below the clamped top, so
-    their windows are smaller than the worst case)."""
+    their windows are smaller than the worst case). nbuf window buffers
+    keep nbuf-1 DMAs in flight: per-roi compute is tiny, so throughput is
+    set by DMA latency, not bandwidth — deeper pipelining hides it."""
     num_levels = len(level_shapes)
     ps = p * s
 
@@ -93,12 +95,16 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
         @pl.when(i == 0)
         def _():
             issue(0, 0)
+            for j in range(1, nbuf - 1):
+                @pl.when(j < n)
+                def _():
+                    issue(j, j)
 
-        @pl.when(i + 1 < n)
+        @pl.when(i + nbuf - 1 < n)
         def _():
-            issue(i + 1, (i + 1) % 2)
+            issue(i + nbuf - 1, (i + nbuf - 1) % nbuf)
 
-        wait(i, i % 2)
+        wait(i, i % nbuf)
 
         # --- sample coordinates (ROIAlign_cuda semantics), [PS] vectors
         row_start = row_start_ref[i]
@@ -144,6 +150,11 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
             (c_iota == x0l[:, None]).astype(jnp.float32) * wx0[:, None]
             + (c_iota == x1l[:, None]).astype(jnp.float32) * wx1[:, None]
         )
+        # fold the s x s sample average into the interpolation matrices
+        # (pooling is linear: mean_jk Ay_j T Ax_k^T = (mean_j Ay_j) T
+        # (mean_k Ax_k)^T) -> matmul rows shrink ps -> p, a s^2 FLOP cut
+        ay = ay.reshape(p, s, rows).sum(axis=1) * (1.0 / s)  # [P, ROWS]
+        ax = ax.reshape(p, s, span).sum(axis=1) * (1.0 / s)  # [P, SPAN]
 
         # mask the tile to this box's DMA window: regions beyond it hold
         # stale/uninitialized data, and 0-weight x NaN would poison the
@@ -155,22 +166,21 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
         # minor-dim insertion must happen on a 32-bit type (Mosaic), and
         # masking must be a select (0 * NaN stays NaN on uninitialized VMEM)
         maskf = (rmask & cmask).astype(jnp.float32)
-        tile = tile_ref[i % 2].astype(jnp.float32)  # [ROWS, SPAN, C]
+        tile = tile_ref[i % nbuf].astype(jnp.float32)  # [ROWS, SPAN, C]
         tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
         tmp = jax.lax.dot_general(
             ay, tile.reshape(rows, span * c),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,  # exact f32 interpolation
-        ).reshape(ps, span, c)
+        ).reshape(p, span, c)
         full = jax.lax.dot_general(
             ax, tmp,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # [PSx, PSy, C]
-        full = jnp.transpose(full, (1, 0, 2))
-        pooled = full.reshape(p, s, p, s, c).mean(axis=(1, 3))
+        )  # [Px, Py, C]
+        pooled = jnp.transpose(full, (1, 0, 2))
         out_ref[0] = pooled.astype(out_ref.dtype)
 
     return kernel
@@ -278,7 +288,7 @@ def make_differentiable_pooler(output_size: int, sampling_ratio: int,
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "strides", "rows",
-                     "span", "interpret"),
+                     "span", "interpret", "nbuf"),
 )
 def multilevel_roi_align_pallas(
     feats: tuple,
@@ -291,6 +301,7 @@ def multilevel_roi_align_pallas(
     rows: int = 44,
     span: int = 64,  # max roi extent (44) + alignment slack (<= 31)
     interpret: bool = False,
+    nbuf: int | None = None,  # DMA pipeline depth (default by dtype)
 ) -> jax.Array:
     """Drop-in replacement for sampling.multilevel_roi_align (same contract).
 
@@ -303,6 +314,10 @@ def multilevel_roi_align_pallas(
     n = boxes.shape[0]
     p = output_size
     s = sampling_ratio
+    if nbuf is None:
+        # per-roi compute is tiny -> DMA-latency-bound; keep nbuf-1 windows
+        # in flight. f32 windows are 2x the VMEM, so pipeline less deep.
+        nbuf = 4 if jnp.dtype(feats[0].dtype).itemsize <= 2 else 3
     # safety: a box whose extent would overflow its level's DMA window is
     # pooled from the next coarser level instead of silently zero-padding
     levels = clamp_levels_to_window(feats, boxes, levels.astype(jnp.int32),
@@ -332,6 +347,13 @@ def multilevel_roi_align_pallas(
     # box's extent + halo fits its level's window, so levels below the top
     # can use smaller (cheaper) DMA windows.
     _, _, lv_rows_b, lv_span_b = _window_bounds(feats, rows, span)
+    # shrink the scratch tile + interpolation matmuls to the largest window
+    # ANY level actually uses (e.g. top level of an 800x1344 canvas is only
+    # 25x48): pure static-shape win, no semantics change
+    rows = max(min(rows, h, r)
+               for (h, _), r in zip(shapes_pad, lv_rows_b))
+    span = max(min(span, w, sp)
+               for (_, w), sp in zip(shapes_pad, lv_span_b))
     rows_per_box = jnp.asarray(
         [min(r, h) for r, (h, _) in zip(lv_rows_b, shapes_pad)],
         jnp.int32)[levels]
@@ -363,12 +385,12 @@ def multilevel_roi_align_pallas(
             (1, p, p, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, span, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, rows, span, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     kernel = _make_kernel(p, s, rows, span, shapes_pad, c, align,
-                          lv_rows_b, lv_span_b)
+                          lv_rows_b, lv_span_b, nbuf)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
