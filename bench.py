@@ -127,7 +127,7 @@ def bench_yolact_end_to_end(jax, jnp, np, run, params, cfg):
 def bench_maskrcnn(jax, jnp, np):
     from tpuseg.models import maskrcnn as M
 
-    batch = 8
+    batch = 16
     dtype = jnp.bfloat16
     cfg = M.MaskRCNNConfig()
     params = jax.tree.map(
