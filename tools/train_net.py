@@ -48,18 +48,29 @@ def main():
     from tpuseg.engine.maskrcnn_engine import model_config_from_node
 
     variant, mcfg = model_config_from_node(cfg)
-    assert variant == "fpn", (
-        f"train_net supports the FPN GeneralizedRCNN family; got {variant}")
+    assert variant in ("fpn", "retinanet"), (
+        f"train_net supports the FPN GeneralizedRCNN family and RetinaNet; "
+        f"got {variant}")
+    train_kw = {}
+    if variant == "retinanet":
+        from tpuseg.models import retinanet as RN
+
+        train_kw = {
+            "forward_losses": lambda p, im, hw, t, key:
+                RN.forward_train_losses(p, im, hw, t, mcfg),
+            "init_params_fn": RN.init_params,
+        }
     params = None
     if cfg.MODEL.WEIGHT:
         from tpuseg.engine.maskrcnn_engine import load_detectron_weights
 
-        params = load_detectron_weights(cfg.MODEL.WEIGHT, mcfg)
+        params = load_detectron_weights(cfg.MODEL.WEIGHT, mcfg,
+                                        variant=variant)
         import jax.numpy as jnp
         import jax
 
         params = jax.tree.map(jnp.asarray, params)
-    do_train(dataset, mcfg, params=params,
+    do_train(dataset, mcfg, params=params, **train_kw,
              base_lr=cfg.SOLVER.BASE_LR, steps=tuple(cfg.SOLVER.STEPS),
              max_iter=cfg.SOLVER.MAX_ITER,
              ims_per_batch=cfg.SOLVER.IMS_PER_BATCH,

@@ -62,18 +62,29 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
              base_lr=0.0025, steps=(120000, 160000), max_iter=180000,
              ims_per_batch=2, checkpoint_period=2500,
              output_dir="weights/detectron", log_every=20, max_steps=None,
-             label_map=None, seed=3):
+             label_map=None, seed=3, forward_losses=None,
+             init_params_fn=None):
+    """``forward_losses(params, images, hw, targets, key) -> loss dict``
+    defaults to the Mask R-CNN FPN family; pass the RetinaNet equivalents
+    (with ``init_params_fn``) to train the one-stage model with the same
+    solver/schedule/logging."""
     cfg = cfg or M.MaskRCNNConfig()
-    lcfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes)
+    if forward_losses is None:
+        lcfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes)
+
+        def forward_losses(p, images, hw, targets, key):
+            return M.forward_train_losses(
+                p, images, hw, targets, key, cfg, lcfg)
+
     lr_fn = warmup_multistep_lr(base_lr=base_lr, steps=steps)
     if params is None:
-        params = M.init_params(jax.random.PRNGKey(0), cfg)
+        params = (init_params_fn or M.init_params)(
+            jax.random.PRNGKey(0), cfg)
     buf = sgd_init(params)
 
     def step_fn(params, buf, images, hw, targets, key, it):
         def loss_fn(p):
-            losses = M.forward_train_losses(
-                p, images, hw, targets, key, cfg, lcfg)
+            losses = forward_losses(p, images, hw, targets, key)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
