@@ -61,11 +61,17 @@ def area(boxes: jax.Array, to_remove: float = 0.0) -> jax.Array:
 
 def pairwise_intersection(a: jax.Array, b: jax.Array,
                           to_remove: float = 0.0) -> jax.Array:
-    """[..., N, 4] x [..., M, 4] -> [..., N, M] intersection areas."""
-    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
-    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
-    wh = jnp.maximum(rb - lt + to_remove, 0.0)
-    return wh[..., 0] * wh[..., 1]
+    """[..., N, 4] x [..., M, 4] -> [..., N, M] intersection areas.
+
+    Broadcasts per coordinate so every [..., N, M] intermediate keeps M as
+    the minor axis (full 128-lane tiles); a [..., N, M, 2] form wastes
+    126/128 lanes and dominated YOLACT's Fast-NMS wall time on TPU.
+    """
+    ix = (jnp.minimum(a[..., :, None, 2], b[..., None, :, 2])
+          - jnp.maximum(a[..., :, None, 0], b[..., None, :, 0]) + to_remove)
+    iy = (jnp.minimum(a[..., :, None, 3], b[..., None, :, 3])
+          - jnp.maximum(a[..., :, None, 1], b[..., None, :, 1]) + to_remove)
+    return jnp.maximum(ix, 0.0) * jnp.maximum(iy, 0.0)
 
 
 def iou_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9,
