@@ -26,14 +26,23 @@ def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
     """-> (canvas float32 [Hc,Wc,3], (th, tw) real size, (sy, sx) scales).
 
     Scales are per-axis: PIL resize rounds each target edge independently,
-    and upstream BoxList.resize divides x/y by their own ratios."""
+    and upstream BoxList.resize divides x/y by their own ratios.
+
+    The static canvas scales with (min_size, max_size): the resized short
+    edge is at most min_size and the long edge at most ceil64(max_size),
+    so e.g. COCODemo(min_image_size=480) compiles a 480x1344 program
+    instead of padding onto the full 800-canvas (2.8x less compute). At
+    the 800/1333 defaults this reproduces the canonical 800x1344 canvas.
+    """
     from PIL import Image
 
     h, w = img_bgr.shape[:2]
     th, tw = detectron_target_size(h, w, min_size, max_size)
+    long_edge = -(-max_size // 64) * 64
+    canvas_hw = ((min_size, long_edge) if tw >= th
+                 else (long_edge, min_size))
     pil = Image.fromarray(img_bgr[:, :, ::-1])  # PIL wants RGB
     resized = np.asarray(pil.resize((tw, th), Image.BILINEAR))[:, :, ::-1]
-    canvas_hw = CANVAS_LANDSCAPE if tw >= th else CANVAS_PORTRAIT
     canvas = np.zeros((*canvas_hw, 3), np.float32)
     canvas[:th, :tw] = resized.astype(np.float32) - np.asarray(
         DETECTRON_PIXEL_MEAN_BGR, np.float32)
