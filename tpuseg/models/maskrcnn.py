@@ -334,6 +334,9 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         top_s, sel, sel_valid = box_ops.masked_topk(
             flat_s, cand_valid.reshape(-1), cfg.pre_final_nms_topk,
             approx=cfg.approx_topk)
+        # barrier: keep XLA from fusing the 80-class decode into the
+        # candidate gather (same pathology as fast_nms — see ops/nms.py)
+        flat_b = jax.lax.optimization_barrier(flat_b)
         return flat_b[sel], top_s, flat_c[sel], sel_valid
 
     cboxes, top_s, cclasses, sel_valid = jax.vmap(per_image_cands)(
