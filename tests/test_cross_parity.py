@@ -439,3 +439,16 @@ def test_preprocess_constants_pinned():
         canvas[:th, :tw],
         pil - np.asarray([102.9801, 115.9465, 122.7717], np.float32))
     assert np.all(canvas[th:] == 0) and np.all(canvas[:, tw:] == 0)
+
+
+def test_preprocess_extreme_aspect_fits_canvas():
+    """90x2690 panorama: rounding would give tw=1345 > the 1344 canvas;
+    the resized long edge must clamp so the paste never overflows."""
+    import numpy as np
+
+    from tpuseg.engine.maskrcnn_engine import preprocess_image_bgr
+
+    img = np.zeros((90, 2690, 3), np.uint8)
+    canvas, (th, tw), (sy, sx) = preprocess_image_bgr(img)
+    assert tw <= canvas.shape[1] and th <= canvas.shape[0]
+    assert canvas.shape == (800, 1344, 3)

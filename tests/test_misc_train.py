@@ -64,8 +64,16 @@ def test_pose2seg_trainer_step(rng):
     gt_aligned = warp_gt_to_aligned(gt_masks, theta, cfg.align_size)
     gt_aligned = (gt_aligned > 0.5).astype(jnp.float32)
     assert gt_aligned.shape == (1, 3, 16, 16)
+    # cat_skeleton models must be fed skeleton features explicitly
+    # (train_step raises on the silent-zeros default)
+    import pytest
+
+    with pytest.raises(ValueError):
+        trainer.train_step(params, buf, images, theta, valid, gt_aligned, 0)
+    skel = jnp.zeros((1, 3, cfg.align_size, cfg.align_size,
+                      cfg.skeleton_channels))
     p2, b2, loss = trainer.train_step(
-        params, buf, images, theta, valid, gt_aligned, 0)
+        params, buf, images, theta, valid, gt_aligned, 0, skel=skel)
     assert np.isfinite(float(loss)) and float(loss) > 0
     changed = any(
         not np.allclose(np.asarray(a), np.asarray(b))

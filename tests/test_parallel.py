@@ -82,8 +82,6 @@ def test_maskrcnn_sharded_eval_matches_single_device(rng, monkeypatch):
     import tpuseg.engine.maskrcnn_engine as ME
     from tpuseg.models import maskrcnn as M
 
-    monkeypatch.setattr(ME, "CANVAS_LANDSCAPE", (64, 128))
-    monkeypatch.setattr(ME, "CANVAS_PORTRAIT", (128, 64))
     cfg = M.MaskRCNNConfig(
         rpn_pre_nms_top_n=32, rpn_post_nms_top_n=32, fpn_post_nms_top_n=16,
         detections_per_img=4, pre_final_nms_topk=64, num_classes=5)
@@ -91,10 +89,12 @@ def test_maskrcnn_sharded_eval_matches_single_device(rng, monkeypatch):
     imgs = [rng.integers(0, 255, (50, 75, 3)).astype(np.uint8)
             for _ in range(8)]
 
+    # min/max_image_size drive the static canvas (48 x ceil64(96) = 128)
     p1 = ME.MaskRCNNPredictor(cfg=cfg, params=params, batch_size=8,
-                              min_image_size=48)
+                              min_image_size=48, max_image_size=96)
     p8 = ME.MaskRCNNPredictor(cfg=cfg, params=params, batch_size=8,
-                              devices="all", min_image_size=48)
+                              devices="all", min_image_size=48,
+                              max_image_size=96)
     r1 = p1.run_on_bgr_images(imgs)
     r8 = p8.run_on_bgr_images(imgs)
     for a, b in zip(r1, r8):
@@ -106,3 +106,9 @@ def test_maskrcnn_sharded_eval_matches_single_device(rng, monkeypatch):
     for a, b in zip(r1[:5], r5):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-4)
+    # pad > len(batch): a single image on 8 devices (the evaluate_coco
+    # leftover path) must pad 1 -> 8 rows, not 1 -> 2
+    r1x = p8.run_on_bgr_images(imgs[:1])
+    for k in r1[0]:
+        np.testing.assert_allclose(r1[0][k], r1x[0][k], rtol=1e-4,
+                                   atol=1e-4)

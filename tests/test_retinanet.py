@@ -18,16 +18,20 @@ def test_anchor_counts_and_octaves():
     for li, (an, stride) in enumerate(zip(anchors, cfg.anchor_stride)):
         hl, wl = RN.M.fpn_level_hw(128, 256, stride)
         assert an.shape == (hl * wl * 9, 4)
-    # first cell of P3: 9 anchors, areas follow octave scaling (w*h with +1
-    # extents ~ (size * 2^(i/3))^2 per ratio group)
+    # first cell of P3: 9 anchors, RATIO-MAJOR order (upstream _ratio_enum
+    # then _scale_enum): index r*3+s -> ratio r, octave scale s
     cell = anchors[0][:9]
     w = cell[:, 2] - cell[:, 0] + 1
     h = cell[:, 3] - cell[:, 1] + 1
-    areas = (w * h).reshape(3, 3).mean(axis=1)  # per octave scale
-    np.testing.assert_allclose(
-        areas[1] / areas[0], 2 ** (2 / 3), rtol=0.1)
-    np.testing.assert_allclose(
-        areas[2] / areas[0], 2 ** (4 / 3), rtol=0.1)
+    areas = (w * h).reshape(3, 3)  # [ratio, octave]
+    for r in range(3):
+        np.testing.assert_allclose(
+            areas[r, 1] / areas[r, 0], 2 ** (2 / 3), rtol=0.1)
+        np.testing.assert_allclose(
+            areas[r, 2] / areas[r, 0], 2 ** (4 / 3), rtol=0.1)
+    ratio = (h / w).reshape(3, 3)  # aspect constant within a ratio row
+    np.testing.assert_allclose(ratio[0], ratio[0, 0], rtol=0.15)
+    assert ratio[0, 0] < ratio[1, 0] < ratio[2, 0]  # 0.5, 1.0, 2.0
 
 
 def test_forward_inference_shapes():

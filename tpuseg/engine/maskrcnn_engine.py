@@ -39,6 +39,9 @@ def preprocess_image_bgr(img_bgr: np.ndarray, min_size=800, max_size=1333):
     h, w = img_bgr.shape[:2]
     th, tw = detectron_target_size(h, w, min_size, max_size)
     long_edge = -(-max_size // 64) * 64
+    # extreme aspect ratios can round the long edge past max_size (e.g.
+    # 90x2690 -> tw=1345 at the 800/1333 defaults); clamp to the canvas
+    th, tw = min(th, long_edge), min(tw, long_edge)
     canvas_hw = ((min_size, long_edge) if tw >= th
                  else (long_edge, min_size))
     pil = Image.fromarray(img_bgr[:, :, ::-1])  # PIL wants RGB
@@ -60,7 +63,8 @@ class MaskRCNNPredictor:
     def __init__(self, cfg=None, params=None,
                  weights: str | None = None, batch_size: int = 1,
                  confidence_threshold: float = 0.5, min_image_size: int = 800,
-                 dtype=jnp.float32, variant: str = "fpn", devices=None):
+                 max_image_size: int = 1333, dtype=jnp.float32,
+                 variant: str = "fpn", devices=None):
         if variant == "c4":
             from tpuseg.models import maskrcnn_c4 as C4
 
@@ -78,6 +82,7 @@ class MaskRCNNPredictor:
         self.batch_size = batch_size
         self.confidence_threshold = confidence_threshold
         self.min_image_size = min_image_size
+        self.max_image_size = max_image_size
         self.dtype = dtype
         if params is None:
             if weights:
@@ -138,7 +143,7 @@ class MaskRCNNPredictor:
         canvases, hws, scales = [], [], []
         for img in imgs_bgr:
             canvas, (th, tw), scale = preprocess_image_bgr(
-                img, self.min_image_size)
+                img, self.min_image_size, self.max_image_size)
             canvases.append(canvas)
             hws.append((th, tw))
             scales.append(scale)
@@ -149,7 +154,8 @@ class MaskRCNNPredictor:
         hws_np = np.asarray(hws, np.int32)
         pad = (-len(batch)) % self.n_devices
         if pad:  # sharded batch dim must divide across devices
-            batch = np.concatenate([batch, np.zeros_like(batch[:pad])])
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
             hws_np = np.concatenate(
                 [hws_np, np.ones((pad, 2), np.int32)])
         out = run(self.params, jnp.asarray(batch), jnp.asarray(hws_np))
@@ -202,6 +208,17 @@ def load_detectron_weights(path: str, cfg, variant: str = "fpn") -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _cfg_get(node, path, default):
+    """Dotted-path lookup into a ConfigNode/dict tree with a default."""
+    cur = node
+    for part in path.split("."):
+        try:
+            cur = cur[part]
+        except (KeyError, TypeError):
+            return default
+    return cur
+
+
 def model_config_from_node(node):
     """ConfigNode (merge_from_file'd yaml) -> (variant, model dataclass).
 
@@ -210,13 +227,7 @@ def model_config_from_node(node):
     MASK_ON plus the RPN top-N and head constants from the yaml.
     """
     def get(path, default):
-        cur = node
-        for part in path.split("."):
-            try:
-                cur = cur[part]
-            except (KeyError, TypeError):
-                return default
-        return cur
+        return _cfg_get(node, path, default)
 
     conv_body = get("MODEL.BACKBONE.CONV_BODY", "R-50-FPN")
     num_classes = int(get("MODEL.ROI_BOX_HEAD.NUM_CLASSES", 81))
@@ -255,20 +266,13 @@ def model_config_from_node(node):
 def build_predictor_from_cfg(node, **kw) -> "MaskRCNNPredictor":
     """ConfigNode -> predictor for its model variant (see
     :func:`model_config_from_node`)."""
-    def get(path, default):
-        cur = node
-        for part in path.split("."):
-            try:
-                cur = cur[part]
-            except (KeyError, TypeError):
-                return default
-        return cur
-
     variant, cfg = model_config_from_node(node)
-    weights = get("MODEL.WEIGHT", "") or None
-    min_size = int(get("INPUT.MIN_SIZE_TEST", 800))
+    weights = _cfg_get(node, "MODEL.WEIGHT", "") or None
+    min_size = int(_cfg_get(node, "INPUT.MIN_SIZE_TEST", 800))
+    max_size = int(_cfg_get(node, "INPUT.MAX_SIZE_TEST", 1333))
     return MaskRCNNPredictor(cfg=cfg, weights=weights, variant=variant,
-                             min_image_size=min_size, **kw)
+                             min_image_size=min_size,
+                             max_image_size=max_size, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -250,7 +250,10 @@ def rpn_proposals(
 
 def assign_levels(boxes: jax.Array, k_min=2, k_max=5, canonical_scale=224,
                   canonical_level=4, eps=1e-6):
-    s = jnp.sqrt(box_ops.area(boxes))
+    # upstream LevelMapper feeds sqrt(BoxList.area()) whose xyxy mode uses
+    # TO_REMOVE=1 extents — boxes at a 224*2^k cut point must not drift to
+    # a different pyramid level than the reference
+    s = jnp.sqrt(box_ops.area(boxes, to_remove=1.0))
     lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale + eps))
     return jnp.clip(lvl, k_min, k_max).astype(jnp.int32) - k_min
 

@@ -130,9 +130,10 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         decoded = decoded.reshape(p, cfg.num_classes, 4)[:, 1:, :]
         decoded = box_ops.clip_to_image(decoded, hw[0] - 1, hw[1] - 1)
         cls_scores = sc[:, 1:]
+        # upstream PostProcessor (shared by C4 and FPN) clips with
+        # remove_empty=False and filters on score only
         cand_valid = (props_valid[:, None]
-                      & (cls_scores > cfg.score_thresh)
-                      & box_ops.nonempty_mask(decoded))
+                      & (cls_scores > cfg.score_thresh))
         top_s, sel, sel_valid = box_ops.masked_topk(
             cls_scores.reshape(-1), cand_valid.reshape(-1),
             cfg.pre_final_nms_topk)

@@ -72,6 +72,13 @@ class Pose2SegTrainer:
     def train_step(self, params, buf, images, theta, valid, gt_aligned, it,
                    skel=None):
         if skel is None:
+            if self.cfg.cat_skeleton:
+                # training the 311-ch segnet with the 55 skeleton channels
+                # silently zeroed would "converge" without ever learning the
+                # skeleton pathway — require the caller to pass them
+                raise ValueError(
+                    "cfg.cat_skeleton is on: pass skel features to "
+                    "train_step (see tools/pose2seg_train.py)")
             b, p = theta.shape[:2]
             skel = jnp.zeros(
                 (b, p, self.cfg.align_size, self.cfg.align_size,

@@ -68,7 +68,9 @@ def make_anchors_np(cfg: RetinaNetConfig, canvas_h: int, canvas_w: int):
 
     Sizes at level l are ANCHOR_SIZES[l] * octave**(i/scales_per_octave)
     (make_anchor_generator_retinanet semantics), cells via the same Caffe2
-    generate_anchors as the Mask R-CNN path.
+    generate_anchors as the Mask R-CNN path. Cell order is RATIO-MAJOR
+    (for each ratio, the octave scales — upstream _ratio_enum then
+    _scale_enum), matching the head's trained channel layout.
     """
     out = []
     for size, stride in zip(cfg.anchor_sizes, cfg.anchor_stride):
@@ -77,8 +79,8 @@ def make_anchors_np(cfg: RetinaNetConfig, canvas_h: int, canvas_w: int):
                 size * cfg.octave ** (i / cfg.scales_per_octave),
                 cfg.anchor_ratios, base=stride)
             for i in range(cfg.scales_per_octave)
-        ]
-        cell = np.concatenate(cells, axis=0)  # [A, 4]
+        ]  # [scale][ratio, 4]
+        cell = np.stack(cells, axis=0).transpose(1, 0, 2).reshape(-1, 4)
         hl, wl = M.fpn_level_hw(canvas_h, canvas_w, stride)
         sx = np.arange(wl) * stride
         sy = np.arange(hl) * stride
