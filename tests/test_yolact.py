@@ -258,3 +258,23 @@ def test_yolact_plus_weight_mapping_roundtrip():
     tree = jax.tree.map(jnp.asarray, tree)
     dets = jax.jit(lambda p, im: Y.full_pipeline(p, priors, im, cfg))(tree, imgs)
     assert "mask_scores" in dets
+
+
+def test_yolact_preset_family_builds():
+    """Every registered yolact_* preset maps onto a YolactConfig with
+    consistent priors (the upstream data/config.py family incl. im400/700)."""
+    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.engine.config import get_config
+    from tpuseg.models.yolact import make_priors_np
+
+    for name, size in [("yolact_base_config", 550),
+                       ("yolact_resnet50_config", 550),
+                       ("yolact_darknet53_config", 550),
+                       ("yolact_im400_config", 400),
+                       ("yolact_im700_config", 700),
+                       ("yolact_plus_base_config", 550),
+                       ("yolact_plus_resnet50_config", 550)]:
+        cfg = yolact_model_config(get_config(name))
+        assert cfg.img_size == size, name
+        priors = make_priors_np(cfg)
+        assert priors.shape[1] == 4 and len(priors) > 1000, name

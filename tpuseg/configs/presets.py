@@ -83,6 +83,11 @@ yolact_im700_config = register_config(
     yolact_base_config.copy({"name": "yolact_im700", "max_size": 700}),
 )
 
+yolact_im400_config = register_config(
+    "yolact_im400_config",
+    yolact_base_config.copy({"name": "yolact_im400", "max_size": 400}),
+)
+
 # YOLACT++ (README.md:216-221 weight table): DCNv2 backbone (interval 3),
 # 3 sub-scales per level, non-square anchors, mask rescoring
 _PLUS_SCALES = [
