@@ -432,9 +432,14 @@ def forward_train_losses(
         cfg,
         rpn_pre_nms_top_n=cfg.rpn_pre_nms_top_n_train,
         fpn_post_nms_top_n=cfg.fpn_post_nms_top_n_train)
+    # detach BEFORE proposal generation (upstream rpn.py passes
+    # objectness/box_regression .detach()ed into the post-processor):
+    # gradients must not be traced into the NMS — the Pallas kernel has no
+    # JVP rule, so a late stop_gradient still fails to linearize on TPU
     proposals, p_scores, p_valid = rpn_proposals(
-        logits, deltas, anchors_l, image_hw, train_cfg, (ch, cw))
-    proposals = jax.lax.stop_gradient(proposals)
+        [jax.lax.stop_gradient(l) for l in logits],
+        [jax.lax.stop_gradient(d) for d in deltas],
+        anchors_l, image_hw, train_cfg, (ch, cw))
 
     keys = jax.random.split(k_roi, b)
     sample = jax.vmap(
