@@ -48,7 +48,8 @@ def main():
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        lr = args.lr * min(1.0, (it + 1) / 1000)  # burn-in warmup
+        # burn-in warmup; it is a traced array under jit -> jnp.minimum
+        lr = args.lr * jnp.minimum(1.0, (it + 1) / 1000)
         params, buf = sgd_update(params, grads, buf, lr, 0.9, 5e-4)
         return params, buf, losses
 
