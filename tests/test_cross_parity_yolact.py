@@ -217,6 +217,10 @@ def t_detect(sd, cfg, preds_loc, preds_conf, preds_coeff, proto, priors):
     """layers/functions/detection.py: per-class top_k, Fast-NMS, global
     cap, mask assembly + crop."""
     scores = F.softmax(preds_conf, dim=-1)[:, 1:].T  # [C-1, N]
+    # Detect.__call__ gates priors by their max class score; a surviving
+    # prior keeps all its per-class scores
+    prior_ok = scores.max(dim=0).values > cfg.conf_thresh
+    scores = torch.where(prior_ok[None, :], scores, torch.zeros(()))
     k = min(cfg.nms_top_k, scores.shape[1])
     top_scores, idx = scores.topk(k, dim=1)
     boxes = t_decode(preds_loc, priors)
@@ -229,7 +233,7 @@ def t_detect(sd, cfg, preds_loc, preds_conf, preds_coeff, proto, priors):
     flat_scores = torch.where(keep, top_scores,
                               torch.zeros(())).reshape(-1)
     order = torch.argsort(-flat_scores)[:cfg.max_num_detections]
-    order = order[flat_scores[order] > cfg.conf_thresh]
+    order = order[flat_scores[order] > 0]
     out_boxes = cboxes.reshape(-1, 4)[order]
     classes = (order // k).to(torch.int64)
     pidx = idx.reshape(-1)[order]

@@ -374,3 +374,23 @@ def test_faster_rcnn_weight_map_skips_mask_head():
     want = {jax.tree_util.keystr(k): v.shape
             for k, v in jax.tree_util.tree_leaves_with_path(init)}
     assert got == want
+
+
+def test_c4_anchor_cell_ratio_major():
+    """C4 cell anchors are ratio-major (Caffe2 _ratio_enum then _scale_enum)
+    so converted checkpoints' 15 RPN channels pair correctly."""
+    from tpuseg.models import maskrcnn_c4 as C4
+
+    cfg = C4.MaskRCNNC4Config()
+    anchors = C4.make_anchors_np(cfg, 64, 64)
+    cell = anchors[:15].reshape(3, 5, 4)  # [ratio, size, 4]
+    w = cell[..., 2] - cell[..., 0] + 1
+    h = cell[..., 3] - cell[..., 1] + 1
+    # within a ratio row, area scales ~4x per size step
+    areas = w * h
+    for r in range(3):
+        ratios = areas[r, 1:] / areas[r, :-1]
+        np.testing.assert_allclose(ratios, 4.0, rtol=0.2)
+    # rows ordered by aspect 0.5, 1, 2 (h/w ascending)
+    aspect = (h / w)[:, 2]
+    assert aspect[0] < aspect[1] < aspect[2]

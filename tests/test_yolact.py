@@ -278,3 +278,26 @@ def test_yolact_preset_family_builds():
         assert cfg.img_size == size, name
         priors = make_priors_np(cfg)
         assert priors.shape[1] == 4 and len(priors) > 1000, name
+
+
+def test_plus_priors_scale_major_order():
+    """yolact++ multi-sub-scale priors are SCALE-major per cell (upstream
+    make_priors: for scale in scales: for ar in ars) so the 9 head channel
+    groups pair with the right priors."""
+    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.engine.config import get_config
+
+    cfg = yolact_model_config(get_config("yolact_plus_base_config"))
+    assert cfg.num_anchors == 9
+    priors = Y.make_priors_np(cfg)
+    cell = priors[:9]  # first position of P3
+    w, h = cell[:, 2], cell[:, 3]
+    # within one scale group of 3, ratios vary (w != const); across groups
+    # the scale rises by 2^(1/3)
+    g = (w * h).reshape(3, 3)  # [scale, ratio]
+    for s in range(3):
+        np.testing.assert_allclose(g[s], g[s, 0], rtol=1e-5)  # area = s^2
+    np.testing.assert_allclose(g[1, 0] / g[0, 0], 2 ** (2 / 3), rtol=1e-4)
+    np.testing.assert_allclose(g[2, 0] / g[0, 0], 2 ** (4 / 3), rtol=1e-4)
+    # ratio order within a group: ar = 1, 0.5, 2 -> w/h = 1, ~0.5, ~2
+    np.testing.assert_allclose((w / h)[:3], [1.0, 0.5, 2.0], rtol=1e-5)

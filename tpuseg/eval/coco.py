@@ -134,6 +134,10 @@ class COCO:
             )
             res.createIndex()
             return res
+        # branch precedence and unconditional area/iscrowd overwrite match
+        # pycocotools loadRes exactly: results carrying BOTH bbox and
+        # segmentation take the bbox branch only (area = w*h, not the mask
+        # area — areaRng matching in evaluateImg is sensitive to this)
         if "bbox" in anns[0] and anns[0]["bbox"] != []:
             for aid, ann in enumerate(anns):
                 bb = ann["bbox"]
@@ -141,10 +145,11 @@ class COCO:
                 y1, y2 = bb[1], bb[1] + bb[3]
                 if "segmentation" not in ann:
                     ann["segmentation"] = [[x1, y1, x1, y2, x2, y2, x2, y1]]
-                ann.setdefault("area", bb[2] * bb[3])
+                ann["area"] = bb[2] * bb[3]
                 ann["id"] = aid + 1
-                ann.setdefault("iscrowd", 0)
-        if "segmentation" in anns[0] and isinstance(anns[0]["segmentation"], dict):
+                ann["iscrowd"] = 0
+        elif "segmentation" in anns[0] and isinstance(
+                anns[0]["segmentation"], dict):
             for aid, ann in enumerate(anns):
                 ann["area"] = rle_mod.area(ann["segmentation"])
                 if "bbox" not in ann:
@@ -159,7 +164,7 @@ class COCO:
                     else:
                         ann["bbox"] = [0.0, 0.0, 0.0, 0.0]
                 ann["id"] = aid + 1
-                ann.setdefault("iscrowd", 0)
+                ann["iscrowd"] = 0
         res.dataset["annotations"] = anns
         res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
         res.createIndex()

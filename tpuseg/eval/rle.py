@@ -136,9 +136,11 @@ def poly_to_rle(poly_xy: np.ndarray, h: int, w: int) -> dict:
     xy = np.asarray(poly_xy, np.float64).reshape(-1, 2)
     k = len(xy)
     scale = 5.0
-    # rleFrPoly: x[j] = (int)(scale*xy[j*2+0]+.5) — C truncation of +0.5
-    x = np.floor(scale * xy[:, 0] + 0.5).astype(np.int64)
-    y = np.floor(scale * xy[:, 1] + 0.5).astype(np.int64)
+    # rleFrPoly: x[j] = (int)(scale*xy[j*2+0]+.5) — C truncation (toward
+    # zero, NOT floor: slightly negative coords like -0.3 must round to 0
+    # the way the C cast does)
+    x = np.trunc(scale * xy[:, 0] + 0.5).astype(np.int64)
+    y = np.trunc(scale * xy[:, 1] + 0.5).astype(np.int64)
     x = np.append(x, x[0])
     y = np.append(y, y[0])
 

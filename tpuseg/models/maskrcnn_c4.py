@@ -52,8 +52,11 @@ def make_anchors_np(cfg: MaskRCNNC4Config, canvas_h: int, canvas_w: int):
     cells = [
         M._generate_cell_anchors(s, cfg.anchor_ratios, base=cfg.anchor_stride)
         for s in cfg.anchor_sizes
-    ]
-    cell = np.concatenate(cells, axis=0)  # [15, 4]
+    ]  # [size][ratio, 4]
+    # RATIO-major cell order (Caffe2 generate_anchors: _ratio_enum then
+    # _scale_enum per ratio) so converted checkpoints' 15 RPN head
+    # channels pair with the anchors they were trained on
+    cell = np.stack(cells, axis=0).transpose(1, 0, 2).reshape(-1, 4)
     hl, wl = M.fpn_level_hw(canvas_h, canvas_w, cfg.anchor_stride)
     sx = np.arange(wl) * cfg.anchor_stride
     sy = np.arange(hl) * cfg.anchor_stride

@@ -60,13 +60,12 @@ def match_targets(
     best_idx = jnp.argmax(iou, axis=0)
     label = jnp.where(best >= high, 1, jnp.where(best < low, 0, -1))
     if allow_low_quality:
-        # for each gt, anchors sharing its max iou become fg
+        # for each gt, anchors sharing its max iou become fg; the forced
+        # anchor KEEPS its own argmax gt (set_low_quality_matches_ restores
+        # all_matches[pred], it does not reassign to the forcing gt)
         gt_best = jnp.max(iou, axis=1, keepdims=True)  # [G, 1]
         is_best = (iou >= gt_best - 1e-7) & (gt_best > 0) & gt_valid[:, None]
         forced = jnp.any(is_best, axis=0)
-        # forced anchors match the gt that forced them (max iou among forcing)
-        forced_gt = jnp.argmax(jnp.where(is_best, iou, -1.0), axis=0)
-        best_idx = jnp.where(forced, forced_gt, best_idx)
         label = jnp.where(forced, 1, label)
     label = jnp.where(best < 0, 0, label)  # no valid gt at all -> bg
     return best_idx, label

@@ -100,8 +100,11 @@ def level_sizes(cfg: YolactConfig):
 def make_priors_np(cfg: YolactConfig) -> np.ndarray:
     """Priors [N, 4] (cx, cy, w, h) normalized — yolact.py make_priors.
 
-    Loop order matches the reference (ars outer, scales inner per position);
-    yolact++ passes 3 sub-scales per level (i * 2^(j/3)).
+    Loop order matches the reference: upstream iterates
+    ``for ars in aspect_ratios: for scale in scales: for ar in ars`` with a
+    single ratio group, i.e. SCALE-major / ratio-minor per position. This
+    only matters for multi-sub-scale configs (yolact++: 3 scales x 3
+    ratios per cell — the head's 9 channel groups are scale-major).
     """
     priors = []
     for li, size_hw in enumerate(level_sizes(cfg)):
@@ -110,8 +113,8 @@ def make_priors_np(cfg: YolactConfig) -> np.ndarray:
             for i in range(size_hw):
                 cx = (i + 0.5) / size_hw
                 cy = (j + 0.5) / size_hw
-                for ar in cfg.aspect_ratios:
-                    for scale in scales:
+                for scale in scales:
+                    for ar in cfg.aspect_ratios:
                         ar_s = math.sqrt(ar)
                         w = scale * ar_s / cfg.img_size
                         h = scale / ar_s / cfg.img_size
@@ -225,9 +228,14 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
     def per_image(loc, conf, coeff, proto):
         boxes = box_ops.ssd_decode(loc, priors, cfg.variances)  # [N,4] normalized
         scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
+        # the reference's conf_thresh gates PRIORS by their max class
+        # score (Detect.__call__: conf_scores > self.conf_thresh); a
+        # surviving prior keeps ALL its per-class scores, however small
+        prior_ok = jnp.max(scores, axis=0) > cfg.conf_thresh  # [N]
         if cfg.use_fast_nms:
+            gated = jnp.where(prior_ok[None, :], scores, 0.0)
             cboxes, cscores, cclasses, cidx, keep = nms_ops.fast_nms(
-                boxes, scores, cfg.nms_iou_thresh, cfg.nms_top_k,
+                boxes, gated, cfg.nms_iou_thresh, cfg.nms_top_k,
                 exact_topk=not cfg.approx_topk,
             )
         else:
@@ -244,13 +252,16 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
                 cls_ids.reshape(-1), cfg.nms_iou_thresh,
                 valid=top_v.reshape(-1)).reshape(c, -1)
             cscores, cclasses, cidx = top_s, cls_ids, top_i
-        # flatten classes and take global top-k (Detect: max_num_detections)
+        # flatten classes and take global top-k (Detect: max_num_detections).
+        # No further conf_thresh here: the prior gate (fast path) /
+        # per-class gate (traditional path) already ran, and low per-class
+        # scores of surviving priors are legitimate detections upstream
         flat_scores = jnp.where(keep, cscores, 0.0).reshape(-1)
         flat_boxes = cboxes.reshape(-1, 4)
         flat_classes = cclasses.reshape(-1)
         flat_pidx = cidx.reshape(-1)
         top_s, sel, valid = box_ops.masked_topk(
-            flat_scores, flat_scores > cfg.conf_thresh, cfg.max_num_detections
+            flat_scores, flat_scores > 0.0, cfg.max_num_detections
         )
         out_boxes = flat_boxes[sel]
         out_classes = flat_classes[sel]

@@ -54,18 +54,26 @@ def match_priors(
 
     best_truth_overlap = jnp.max(overlaps, axis=0)  # [N]
     best_truth_idx = jnp.argmax(overlaps, axis=0)
-    # force each valid gt's best prior to match it (overlap := 2)
-    best_prior_idx = jnp.argmax(overlaps, axis=1)  # [G]
-    force = jnp.zeros((n,), overlaps.dtype).at[best_prior_idx].max(
-        jnp.where(valid_gt, 2.0, 0.0)
-    )
-    gidx_at_prior = (
-        jnp.full((n,), -1, jnp.int32)
-        .at[best_prior_idx]
-        .max(jnp.where(valid_gt, jnp.arange(gt_boxes.shape[0]), -1))
-    )
-    best_truth_overlap = jnp.where(force >= 2.0, 2.0, best_truth_overlap)
-    best_truth_idx = jnp.where(force >= 2.0, gidx_at_prior, best_truth_idx)
+    # force each valid gt's best prior to match it (overlap := 2), with the
+    # reference's ITERATIVE claiming (box_utils.match): each round the
+    # globally-best (gt, prior) pair is claimed and that prior/gt excluded,
+    # so two gts sharing a best prior end up with DISTINCT forced priors
+    # (a one-shot argmax scatter would collapse them onto one)
+    g = gt_boxes.shape[0]
+
+    def claim(_, state):
+        ov, bto, bti = state
+        per_gt_best = jnp.max(ov, axis=1)  # [G]
+        j = jnp.argmax(per_gt_best)
+        i = jnp.argmax(ov[j])
+        ok = per_gt_best[j] >= 0.0  # active, valid gt remains
+        ov = jnp.where(ok, ov.at[:, i].set(-1.0).at[j, :].set(-1.0), ov)
+        bto = jnp.where(ok, bto.at[i].set(2.0), bto)
+        bti = jnp.where(ok, bti.at[i].set(j), bti)
+        return ov, bto, bti
+
+    _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
+        0, g, claim, (overlaps, best_truth_overlap, best_truth_idx))
 
     conf = gt_classes[best_truth_idx] + 1
     conf = jnp.where(best_truth_overlap < cfg.pos_thresh, -1, conf)  # neutral

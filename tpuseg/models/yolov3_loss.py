@@ -70,9 +70,6 @@ def build_targets(
         sel = valid & (best_level == li)
         lin = (cj * w + ci) * 3 + best_a  # position-major, anchor-consecutive
         n = h * w * 3
-        tconf = jnp.zeros((n,), jnp.float32)
-        txywh = jnp.zeros((n, 4), jnp.float32)
-        tcls = jnp.zeros((n,), jnp.int32)
         lin_safe = jnp.where(sel, lin, n)  # out-of-range drop for pads
         tconf = jnp.zeros((n + 1,), jnp.float32).at[lin_safe].set(1.0)[:n]
         aw = anchors_all[best_anchor][:, 0]
