@@ -19,22 +19,39 @@ class AugmentConfig:
 
 
 def photometric_distort(rng, img):
-    img = img.astype(np.float32)
-    if rng.random() < 0.5:  # brightness
-        img += rng.uniform(-32, 32)
-    if rng.random() < 0.5:  # contrast
-        img *= rng.uniform(0.5, 1.5)
+    """PhotometricDistort (ssd.pytorch via yolact): float pipeline
+    throughout (no uint8 quantization between steps), hue jitter +-18 on
+    the float-HSV 0-360 degree scale, contrast before-or-after HSV with
+    50% each, and the trailing RandomLightingNoise channel swap."""
     import cv2
 
-    hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                       cv2.COLOR_RGB2HSV).astype(np.float32)
-    if rng.random() < 0.5:  # saturation
+    img = img.astype(np.float32)
+    if rng.random() < 0.5:  # RandomBrightness(32)
+        img += rng.uniform(-32, 32)
+
+    def contrast(im):
+        if rng.random() < 0.5:  # RandomContrast(0.5, 1.5)
+            im = im * rng.uniform(0.5, 1.5)
+        return im
+
+    contrast_first = rng.random() < 0.5
+    if contrast_first:
+        img = contrast(img)
+    # float32 0-255 input -> H in [0, 360), S in [0, 1], V in [0, 255]
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+    if rng.random() < 0.5:  # RandomSaturation(0.5, 1.5)
         hsv[:, :, 1] *= rng.uniform(0.5, 1.5)
-    if rng.random() < 0.5:  # hue
-        hsv[:, :, 0] = (hsv[:, :, 0] + rng.uniform(-18, 18)) % 180
-    img = cv2.cvtColor(
-        np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2RGB
-    ).astype(np.float32)
+    if rng.random() < 0.5:  # RandomHue(18.0) with the reference's wrap
+        hsv[:, :, 0] += rng.uniform(-18, 18)
+        hsv[:, :, 0][hsv[:, :, 0] > 360.0] -= 360.0
+        hsv[:, :, 0][hsv[:, :, 0] < 0.0] += 360.0
+    img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    if not contrast_first:
+        img = contrast(img)
+    if rng.random() < 0.5:  # RandomLightingNoise: random channel order
+        perms = ((0, 1, 2), (0, 2, 1), (1, 0, 2),
+                 (1, 2, 0), (2, 0, 1), (2, 1, 0))
+        img = img[:, :, perms[rng.integers(len(perms))]]
     return img
 
 
@@ -60,24 +77,14 @@ def expand(rng, img, boxes, masks, mean):
     return out, boxes, masks
 
 
-def _iou(a, b):
-    lt = np.maximum(a[:, None, :2], b[None, :, :2])
-    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
-    wh = np.clip(rb - lt, 0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    return inter / np.maximum(aa[:, None] + ab[None] - inter, 1e-9)
-
-
-def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50):
+def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50,
+                       iscrowd=None):
     """RandomSampleCrop: pick a min-IoU mode, try crops keeping gt centers."""
     h, w = img.shape[:2]
     modes = (None, 0.1, 0.3, 0.7, 0.9, -1.0)
     mode = modes[rng.integers(len(modes))]
     if mode is None or len(boxes) == 0:
-        return img, boxes, classes, masks
-    min_iou = mode if mode >= 0 else -np.inf
+        return img, boxes, classes, masks, iscrowd
     for _ in range(max_tries):
         cw = rng.uniform(0.3 * w, w)
         chh = rng.uniform(0.3 * h, h)
@@ -86,9 +93,11 @@ def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50):
         left = rng.uniform(0, w - cw)
         top = rng.uniform(0, h - chh)
         rect = np.array([left, top, left + cw, top + chh])
-        iou = _iou(boxes, rect[None])[:, 0]
-        if iou.min() < min_iou:
-            continue
+        # NOTE: the reference's min-IoU constraint is a documented no-op
+        # (yolact augmentations.py keeps the ssd.pytorch bug on purpose —
+        # "fixing it cut mAP in half"); enforcing it here rejected nearly
+        # every crop on multi-object images. Crops are accepted on the
+        # center-in-crop test alone, like the reference effectively does.
         centers = (boxes[:, :2] + boxes[:, 2:]) / 2
         keep = (
             (centers[:, 0] > rect[0]) & (centers[:, 0] < rect[2])
@@ -102,10 +111,12 @@ def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50):
         boxes[:, 0::2] = np.clip(boxes[:, 0::2] - l, 0, r - l)
         boxes[:, 1::2] = np.clip(boxes[:, 1::2] - t, 0, btm - t)
         classes = classes[keep]
+        if iscrowd is not None:
+            iscrowd = iscrowd[keep]
         if len(masks):
             masks = masks[keep][:, t:btm, l:r]
-        return img, boxes, classes, masks
-    return img, boxes, classes, masks
+        return img, boxes, classes, masks, iscrowd
+    return img, boxes, classes, masks, iscrowd
 
 
 def random_mirror(rng, img, boxes, masks):
@@ -121,15 +132,19 @@ def random_mirror(rng, img, boxes, masks):
 
 def ssd_augment(rng: np.random.Generator, img_rgb_u8: np.ndarray,
                 boxes: np.ndarray, classes: np.ndarray, masks: np.ndarray,
-                cfg: AugmentConfig):
+                cfg: AugmentConfig, iscrowd: np.ndarray | None = None):
     """Full SSDAugmentation -> (img [S,S,3] float normalized, boxes
-    normalized xyxy, classes, masks [N,S,S] u8)."""
+    normalized xyxy, classes, masks [N,S,S] u8[, iscrowd]).
+
+    ``iscrowd`` rides along through the crop's keep-filter (the reference
+    keeps crowd gts — label -1 — so matching can neutralize anchors over
+    crowd regions)."""
     import cv2
 
     img = photometric_distort(rng, img_rgb_u8)
     img, boxes, masks = expand(rng, img, boxes, masks, cfg.mean)
-    img, boxes, classes, masks = random_sample_crop(
-        rng, img, boxes, classes, masks)
+    img, boxes, classes, masks, iscrowd = random_sample_crop(
+        rng, img, boxes, classes, masks, iscrowd=iscrowd)
     img, boxes, masks = random_mirror(rng, img, boxes, masks)
     h, w = img.shape[:2]
     img = cv2.resize(img, (cfg.size, cfg.size), interpolation=cv2.INTER_LINEAR)
@@ -143,4 +158,6 @@ def ssd_augment(rng: np.random.Generator, img_rgb_u8: np.ndarray,
     boxes[:, 0::2] /= w
     boxes[:, 1::2] /= h
     img = (img - cfg.mean) / cfg.std
+    if iscrowd is not None:
+        return img.astype(np.float32), boxes, classes, masks, iscrowd
     return img.astype(np.float32), boxes, classes, masks

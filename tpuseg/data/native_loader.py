@@ -77,12 +77,29 @@ class NativeImageLoader:
     def is_native(self) -> bool:
         return self._native
 
+    @staticmethod
+    def _exif_orientation(path: str) -> int:
+        """EXIF Orientation tag (1 = upright) via a header-only PIL open.
+
+        The C++ decoder emits raw libjpeg pixels; cv2.imread (the
+        reference's reader and our fallback) auto-applies orientation, so
+        rotated files must not silently take the native fast path —
+        detections would be scored against rotated-frame annotations."""
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                return int(im.getexif().get(0x0112, 1))
+        except Exception:
+            return 1
+
     def load_batch(self, paths: list[str], out_h: int, out_w: int,
                    keep_aspect: bool = False):
         n = len(paths)
         out = np.empty((n, out_h, out_w, 3), np.uint8)
         hw = np.empty((n, 2), np.int32)
-        if self._native:
+        if self._native and all(
+                self._exif_orientation(p) == 1 for p in paths):
             arr = (ctypes.c_char_p * n)(
                 *[p.encode() for p in paths])
             rc = self._lib.nl_load_batch(

@@ -34,7 +34,8 @@ def build_train_example(dataset, iid, min_size=800, max_size=1333,
         w = img.shape[1]
         img = np.ascontiguousarray(img[:, ::-1])
         b = gt["boxes"].copy()
-        b[:, [0, 2]] = w - gt["boxes"][:, [2, 0]]
+        # BoxList.transpose: flipped xmin = width - xmax - 1 (TO_REMOVE=1)
+        b[:, [0, 2]] = w - gt["boxes"][:, [2, 0]] - 1
         gt["boxes"] = b
         gt["masks"] = np.ascontiguousarray(gt["masks"][:, :, ::-1])
     canvas, (th, tw), (sy, sx) = preprocess_image_bgr(
@@ -48,12 +49,20 @@ def build_train_example(dataset, iid, min_size=800, max_size=1333,
             continue
         boxes[i] = gt["boxes"][i] * np.asarray([sx, sy, sx, sy], np.float32)
         classes[i] = gt["classes"][i]
-        x1, y1, x2, y2 = gt["boxes"][i].astype(int)
-        x2 = max(x2, x1 + 1)
-        y2 = max(y2, y1 + 1)
-        m = gt["masks"][i][y1:y2, x1:x2].astype(np.float32)
-        crops[i] = cv2.resize(m, (crop, crop),
-                              interpolation=cv2.INTER_LINEAR) > 0.5
+        # sample the crop over the EXACT float gt box (warpAffine), not
+        # int-truncated bounds: mask_targets_from_crops projects proposal
+        # rois assuming the RxR crop spans [x1,x2]x[y1,y2] precisely, and
+        # a ~1px crop offset shifts small-object mask targets by ~10%
+        x1, y1, x2, y2 = gt["boxes"][i].astype(np.float64)
+        bw = max(x2 - x1, 1.0)
+        bh = max(y2 - y1, 1.0)
+        mat = np.asarray(
+            [[bw / crop, 0.0, x1 + 0.5 * bw / crop - 0.5],
+             [0.0, bh / crop, y1 + 0.5 * bh / crop - 0.5]], np.float64)
+        m = cv2.warpAffine(
+            gt["masks"][i].astype(np.float32), mat, (crop, crop),
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP)
+        crops[i] = m > 0.5
     return canvas, (th, tw), {
         "boxes": boxes, "classes": classes, "mask_crops": crops}
 
@@ -81,6 +90,11 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
         params = (init_params_fn or M.init_params)(
             jax.random.PRNGKey(0), cfg)
     buf = sgd_init(params)
+    # maskrcnn-benchmark param groups: biases lr x2 / wd 0; FrozenBN
+    # buffers and stem+layer1 (FREEZE_CONV_BODY_AT=2) never update
+    from tpuseg.engine.trainer import detectron_param_groups
+
+    lr_scale, wd_scale = detectron_param_groups(params)
 
     def step_fn(params, buf, images, hw, targets, key, it):
         def loss_fn(p):
@@ -89,7 +103,8 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         params, buf = sgd_update(params, grads, buf, lr_fn(it),
-                                 momentum=0.9, weight_decay=1e-4)
+                                 momentum=0.9, weight_decay=1e-4,
+                                 lr_scale=lr_scale, wd_scale=wd_scale)
         return params, buf, losses
 
     step_jit = jax.jit(step_fn)

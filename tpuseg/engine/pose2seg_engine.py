@@ -49,28 +49,37 @@ class Pose2SegPredictor:
             [0.229, 0.224, 0.225])
 
         p = cfg.max_people
-        n = min(len(keypoints), p)
-        theta = np.zeros((1, p, 2, 3), np.float32)
-        inv_theta = np.zeros((1, p, 2, 3), np.float32)
-        valid = np.zeros((1, p), bool)
-        skel = np.zeros(
-            (1, p, cfg.align_size, cfg.align_size, cfg.skeleton_channels),
-            np.float32)
-        for i in range(n):
-            kp = keypoints[i].astype(np.float64).copy()
-            kp[:, :2] *= scale
-            A, score, _ = P2S.choose_template(kp, cfg)
-            if A is None:
-                continue
-            theta[0, i] = P2S.affine_to_theta(A, s, s)
-            inv_theta[0, i] = P2S.inverse_theta(A, s, s)
-            valid[0, i] = True
-            if cfg.cat_skeleton:
-                skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
-        out = self._run(self.params, jnp.asarray(canvas, jnp.float32)[None],
-                        jnp.asarray(theta), jnp.asarray(inv_theta),
-                        jnp.asarray(valid), jnp.asarray(skel))
-        masks_s = np.asarray(out["masks"])[0, :n]  # [n, PS, PS] paste grid
+        n = len(keypoints)  # crowded images run in chunks of max_people
+        masks_chunks = []
+        valid_all = np.zeros((n,), bool)
+        for c0 in range(0, n, p):
+            chunk = keypoints[c0:c0 + p]
+            theta = np.zeros((1, p, 2, 3), np.float32)
+            inv_theta = np.zeros((1, p, 2, 3), np.float32)
+            valid = np.zeros((1, p), bool)
+            skel = np.zeros(
+                (1, p, cfg.align_size, cfg.align_size,
+                 cfg.skeleton_channels), np.float32)
+            for i, kp_raw in enumerate(chunk):
+                kp = kp_raw.astype(np.float64).copy()
+                kp[:, :2] *= scale
+                A, score, _ = P2S.choose_template(kp, cfg)
+                if A is None:
+                    continue
+                theta[0, i] = P2S.affine_to_theta(A, s, s)
+                inv_theta[0, i] = P2S.inverse_theta(A, s, s)
+                valid[0, i] = True
+                if cfg.cat_skeleton:
+                    skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
+            out = self._run(self.params,
+                            jnp.asarray(canvas, jnp.float32)[None],
+                            jnp.asarray(theta), jnp.asarray(inv_theta),
+                            jnp.asarray(valid), jnp.asarray(skel))
+            masks_chunks.append(np.asarray(out["masks"])[0, :len(chunk)])
+            valid_all[c0:c0 + len(chunk)] = valid[0, :len(chunk)]
+        masks_s = (np.concatenate(masks_chunks, axis=0) if masks_chunks
+                   else np.zeros((0, cfg.paste_size, cfg.paste_size),
+                                 np.float32))  # [n, PS, PS] paste grid
         ps = cfg.paste_size
         masks = np.zeros((n, h, w), np.uint8)
         # the paste grid covers the same square canvas, coarser: crop the
@@ -81,7 +90,7 @@ class Pose2SegPredictor:
             m = masks_s[i][:ph, :pw]
             m = cv2.resize(m, (w, h), interpolation=cv2.INTER_LINEAR)
             masks[i] = (m > cfg.mask_thresh).astype(np.uint8)
-        return {"masks": masks, "valid": valid[0, :n]}
+        return {"masks": masks, "valid": valid_all}
 
 
 def load_pose2seg_weights(path: str, cfg):

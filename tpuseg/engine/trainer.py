@@ -71,21 +71,57 @@ def sgd_init(params):
     return jax.tree.map(jnp.zeros_like, params)
 
 
-def sgd_update(params, grads, momentum_buf, lr, momentum=0.9, weight_decay=5e-4):
-    """torch.optim.SGD semantics: buf = m*buf + (grad + wd*p); p -= lr*buf."""
+def sgd_update(params, grads, momentum_buf, lr, momentum=0.9,
+               weight_decay=5e-4, lr_scale=None, wd_scale=None):
+    """torch.optim.SGD semantics: buf = m*buf + (grad + wd*p); p -= lr*buf.
 
-    def upd(p, g, b):
-        if g is None:
+    ``lr_scale``/``wd_scale``: optional trees of per-leaf multipliers
+    (param-group semantics: maskrcnn-benchmark gives biases lr x2 / wd 0
+    and never updates FrozenBN buffers or frozen backbone stages —
+    lr_scale 0 freezes a leaf)."""
+
+    def upd(p, g, b, ls, ws):
+        if g is None or ls == 0.0:
             return p, b
-        g = g + weight_decay * p
+        g = g + (weight_decay * ws) * p
         b = momentum * b + g
-        return p - lr * b, b
+        return p - (lr * ls) * b, b
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = jax.tree.leaves(grads)
     flat_b = jax.tree.leaves(momentum_buf)
-    new_p, new_b = zip(*[upd(p, g, b) for p, g, b in zip(flat_p, flat_g, flat_b)])
+    flat_ls = (jax.tree.leaves(lr_scale) if lr_scale is not None
+               else [1.0] * len(flat_p))
+    flat_ws = (jax.tree.leaves(wd_scale) if wd_scale is not None
+               else [1.0] * len(flat_p))
+    new_p, new_b = zip(*[upd(p, g, b, ls, ws) for p, g, b, ls, ws
+                         in zip(flat_p, flat_g, flat_b, flat_ls, flat_ws)])
     return jax.tree.unflatten(treedef, new_p), jax.tree.unflatten(treedef, new_b)
+
+
+def detectron_param_groups(params):
+    """(lr_scale, wd_scale) trees for maskrcnn-benchmark's make_optimizer:
+    biases lr x2 (BIAS_LR_FACTOR) with wd 0; FrozenBN affine buffers and
+    the frozen stem+layer1 stages (FREEZE_CONV_BODY_AT=2) lr 0."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", getattr(k, "idx", None)) for k in path]
+        skeys = [k for k in keys if isinstance(k, str)]
+        frozen_stage = ("backbone" in skeys
+                        and ("stem" in skeys or "layer1" in skeys))
+        frozen_bn = any(k == "bn" or k.startswith("bn") for k in skeys)
+        if frozen_stage or frozen_bn:
+            return 0.0, 0.0
+        if skeys and skeys[-1] == "bias":
+            return 2.0, 0.0
+        return 1.0, 1.0
+
+    both = jax.tree_util.tree_map_with_path(spec, params)
+    lr_scale = jax.tree.map(lambda t: t[0], both,
+                            is_leaf=lambda x: isinstance(x, tuple))
+    wd_scale = jax.tree.map(lambda t: t[1], both,
+                            is_leaf=lambda x: isinstance(x, tuple))
+    return lr_scale, wd_scale
 
 
 # ---------------------------------------------------------------------------

@@ -62,13 +62,15 @@ def batch_iterator(dataset, cfg, rng: np.random.Generator, batch_size: int,
             for iid in ids[start:start + batch_size]:
                 img = dataset.load_image(iid)
                 gt = dataset.load_target(iid)
-                keep = gt["iscrowd"] == 0
-                aimg, aboxes, aclasses, amasks = ssd_augment(
-                    rng, img, gt["boxes"][keep], gt["classes"][keep],
-                    gt["masks"][keep], acfg)
+                # crowds ride along (reference keeps them with label -1 so
+                # matching can neutralize anchors over crowd regions)
+                aimg, aboxes, aclasses, amasks, acrowd = ssd_augment(
+                    rng, img, gt["boxes"], gt["classes"],
+                    gt["masks"], acfg, iscrowd=gt["iscrowd"].astype(bool))
                 # ssd_augment returns normalized boxes; masks at train size
                 tgts.append(build_targets_np(
-                    {"boxes": aboxes, "classes": aclasses, "masks": amasks},
+                    {"boxes": aboxes, "classes": aclasses, "masks": amasks,
+                     "iscrowd": acrowd},
                     cfg.img_size, proto, sem, max_gt))
                 imgs.append(aimg)
             images = np.stack(imgs)

@@ -264,7 +264,10 @@ def gen_skeleton_feats(kpts_unit: np.ndarray, size: int,
     within limb_width px of the segment).
     """
     k = kpts_unit.shape[0]
-    pts = kpts_unit[:, :2] * size
+    # align_corners=False convention (affine_to_theta): unit-frame u maps
+    # to aligned-crop pixel u*size - 0.5, so the rasterized skeleton
+    # registers with the affine-aligned feature channels
+    pts = kpts_unit[:, :2] * size - 0.5
     vis = kpts_unit[:, 2] > 0
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     out = np.zeros((size, size, k + 2 * len(COCO_SKELETON)), np.float32)

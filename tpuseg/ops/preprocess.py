@@ -124,7 +124,13 @@ def letterbox_preprocess(images_u8: jax.Array, hw, size: int = 416):
     )
     from tpuseg.ops.sampling import _bilinear_corners, _gather_weighted
 
-    idx4, w4 = _bilinear_corners(sy, sx, ih, iw)
+    # clamp samples to the TRUE per-image extent (border replicate, like
+    # cv2.resize): without this, edge output pixels bilinearly blend with
+    # the zero-padded batch canvas and every image smaller than the batch
+    # max gets a darkened 1px border
+    sy_c = jnp.clip(sy, 0.0, jnp.maximum(h[:, None, None] - 1.0, 0.0))
+    sx_c = jnp.clip(sx, 0.0, jnp.maximum(w[:, None, None] - 1.0, 0.0))
+    idx4, w4 = _bilinear_corners(sy_c, sx_c, ih, iw)
 
     def per_image(feat, idx4_i, w4_i):
         return _gather_weighted(feat.reshape(ih * iw, c), idx4_i, w4_i)
