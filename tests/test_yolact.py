@@ -250,7 +250,8 @@ def test_yolact_plus_weight_mapping_roundtrip():
     np.testing.assert_allclose(
         tree["maskiou"]["conv2"]["weight"],
         sd["maskiou_net.maskiou_net.4.weight"].transpose(2, 3, 1, 0))
-    assert tree["maskiou"]["fc"]["weight"].shape == (128, cfg.num_classes - 1)
+    assert tree["maskiou"]["conv_last"]["weight"].shape == (
+        1, 1, 128, cfg.num_classes - 1)
 
     # the loaded tree drives the ++ pipeline end to end
     priors = jnp.asarray(Y.make_priors_np(cfg))
@@ -301,3 +302,41 @@ def test_plus_priors_scale_major_order():
     np.testing.assert_allclose(g[2, 0] / g[0, 0], 2 ** (4 / 3), rtol=1e-4)
     # ratio order within a group: ar = 1, 0.5, 2 -> w/h = 1, ~0.5, ~2
     np.testing.assert_allclose((w / h)[:3], [1.0, 0.5, 2.0], rtol=1e-5)
+
+
+def test_maskiou_net_matches_torch_semantics(rng):
+    """FastMaskIoUNet math golden: conv stack (s2, relu) -> 1x1 conv to
+    classes + relu -> SPATIAL max pool (include_last_relu=True)."""
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+
+    cfg = Y.YolactConfig(num_classes=5, use_maskiou=True)
+    chans = (1, 8, 16, 32, 64, 128)
+    params = {}
+    tws = []
+    for i in range(5):
+        w = rng.standard_normal(
+            (chans[i + 1], chans[i], 3, 3)).astype(np.float32) * 0.1
+        b = rng.standard_normal(chans[i + 1]).astype(np.float32) * 0.1
+        params[f"conv{i}"] = {
+            "weight": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(b)}
+        tws.append((torch.from_numpy(w), torch.from_numpy(b)))
+    wl = rng.standard_normal((4, 128, 1, 1)).astype(np.float32) * 0.1
+    bl = rng.standard_normal(4).astype(np.float32) * 0.1
+    params["conv_last"] = {"weight": jnp.asarray(wl.transpose(2, 3, 1, 0)),
+                           "bias": jnp.asarray(bl)}
+
+    masks = rng.uniform(size=(3, 64, 64)).astype(np.float32)
+    got = np.asarray(Y.maskiou_net(params, jnp.asarray(masks), cfg))
+
+    x = torch.from_numpy(masks)[:, None]
+    with torch.no_grad():
+        for w, b in tws:
+            x = F.relu(F.conv2d(x, w, b, stride=2, padding=1))
+        x = F.relu(F.conv2d(x, torch.from_numpy(wl), torch.from_numpy(bl)))
+        want = F.max_pool2d(x, kernel_size=x.shape[2:]).squeeze(-1).squeeze(
+            -1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -40,13 +40,19 @@ def main():
         rng.shuffle(ids)
         for iid in ids:
             anns = dataset.coco.imgToAnns[iid]
-            kpts = [np.asarray(a["keypoints"], np.float64).reshape(-1, 3)
-                    for a in anns if a.get("keypoints") is not None]
-            kpts = [k for k in kpts if (k[:, 2] > 0).sum() >= 2]
-            if not kpts:
+            # keypoints and masks MUST come from the same annotation:
+            # filtering a parallel kpts list while indexing the unfiltered
+            # mask list pairs person i's pose with another person's mask
+            pairs = []
+            for a in anns:
+                if a.get("iscrowd", 0) or a.get("keypoints") is None:
+                    continue
+                kp = np.asarray(a["keypoints"], np.float64).reshape(-1, 3)
+                if (kp[:, 2] > 0).sum() >= 2:
+                    pairs.append((kp, a))
+            if not pairs:
                 continue
             img = dataset.load_image(iid)
-            gt = dataset.load_target(iid)
             h, w = img.shape[:2]
             scale = s / max(h, w)
             nh, nw = int(h * scale), int(w * scale)
@@ -59,7 +65,9 @@ def main():
             gt_masks = np.zeros((1, p, s, s), np.float32)
             skel = np.zeros((1, p, cfg.align_size, cfg.align_size,
                              cfg.skeleton_channels), np.float32)
-            for i, kp in enumerate(kpts[:p]):
+            from tpuseg.eval import rle as rle_mod
+
+            for i, (kp, ann) in enumerate(pairs[:p]):
                 kp = kp.copy()
                 kp[:, :2] *= scale
                 A, score, _ = P2S.choose_template(kp, cfg)
@@ -69,10 +77,10 @@ def main():
                 valid[0, i] = True
                 if cfg.cat_skeleton:
                     skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
-                if i < len(gt["masks"]):
-                    m = cv2.resize(gt["masks"][i].astype(np.float32),
-                                   (nw, nh))
-                    gt_masks[0, i, :nh, :nw] = m > 0.5
+                m_full = rle_mod.decode(
+                    rle_mod.segm_to_rle(ann["segmentation"], h, w))
+                m = cv2.resize(m_full.astype(np.float32), (nw, nh))
+                gt_masks[0, i, :nh, :nw] = m > 0.5
             if not valid.any():
                 continue
             gt_aligned = warp_gt_to_aligned(

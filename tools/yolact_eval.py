@@ -19,8 +19,11 @@ def infer_config_name(weights_path: str | None, explicit: str | None):
         return explicit
     if weights_path:
         base = os.path.basename(weights_path)
-        for name in ("yolact_resnet50", "yolact_darknet53", "yolact_im700",
-                     "yolact_base"):
+        # longest-prefix first so yolact_plus_* doesn't fall into
+        # yolact_base
+        for name in ("yolact_plus_resnet50", "yolact_plus_base",
+                     "yolact_resnet50", "yolact_darknet53", "yolact_im700",
+                     "yolact_im400", "yolact_base"):
             if base.startswith(name):
                 return name + "_config"
     return "yolact_base_config"

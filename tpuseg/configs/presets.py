@@ -111,8 +111,8 @@ yolact_plus_base_config = register_config(
 yolact_plus_resnet50_config = register_config(
     "yolact_plus_resnet50_config",
     yolact_plus_base_config.copy(
-        {"name": "yolact_plus_resnet50", "backbone": "resnet50",
-         "dcn_backbone": False}  # dbolya's r50++ keeps a plain backbone
+        # resnet50_dcnv2_backbone: R50++ uses the deformable stages too
+        {"name": "yolact_plus_resnet50", "backbone": "resnet50"}
     ),
 )
 

@@ -42,7 +42,6 @@ class YolactPredictor:
                 jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
             params,
         )
-        self.priors = jnp.asarray(yolact_model.make_priors_np(cfg), dtype)
         cfg_ = cfg
 
         def _run(params, images_u8):
@@ -101,12 +100,18 @@ class YolactPredictor:
         px_boxes = boxes * np.asarray([w, h, w, h], np.float32)
         px_boxes[:, 0::2] = np.clip(px_boxes[:, 0::2], 0, w)
         px_boxes[:, 1::2] = np.clip(px_boxes[:, 1::2], 0, h)
-        return {
+        # sanitize_coordinates(cast=True): the reference emits integer
+        # (truncated) pixel boxes and its AP protocol computes IoU on them
+        px_boxes = px_boxes.astype(np.int64).astype(np.float32)
+        out = {
             "boxes": px_boxes,
             "scores": scores,
             "classes": classes,
             "masks": masks,
         }
+        if "mask_scores" in det_i:  # YOLACT++ maskiou rescoring
+            out["mask_scores"] = det_i["mask_scores"][valid]
+        return out
 
 
 def _resolve_devices(devices) -> int:
@@ -238,7 +243,13 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
 
 
 def detections_to_coco_json(final: dict, image_id: int, label_map_inv: dict):
-    """One image's final dets -> COCO result dicts (bbox + segm)."""
+    """One image's final dets -> COCO result dicts (bbox + segm).
+
+    Note: these combined dicts carry the box score; YOLACT++ maskiou
+    rescoring is honored by the reference's own mAP protocol
+    (eval/yolact_map.py consumes final['mask_scores']) — the reference
+    dumps separate bbox/mask jsons, which a combined-dict loadRes cannot
+    represent."""
     from tpuseg.eval import rle as rle_mod
 
     out = []

@@ -93,8 +93,12 @@ def prep_metrics(ap_data: dict, det: dict, gt: dict) -> None:
     """Accumulate one image (eval.py prep_metrics semantics).
 
     det: {boxes [D,4] xyxy px, scores [D], classes [D] 0-based,
-          masks [D,H,W] u8}
+          masks [D,H,W] u8[, mask_scores [D] for YOLACT++ rescoring]}
     gt:  {boxes, classes, masks, iscrowd} from CocoDetectionDataset.
+
+    With ``mask_scores`` present, the mask iou_type sorts its greedy
+    matching and pushes by the rescored values while box keeps the raw
+    scores (eval.py: box_indices / mask_indices, score_func per type).
     """
     crowd_sel = gt["iscrowd"] > 0
     gt_boxes = gt["boxes"][~crowd_sel]
@@ -104,12 +108,16 @@ def prep_metrics(ap_data: dict, det: dict, gt: dict) -> None:
     crowd_classes = gt["classes"][crowd_sel].tolist()
     crowd_masks = gt["masks"][crowd_sel] if len(gt["masks"]) else gt["masks"]
 
-    order = np.argsort(-det["scores"], kind="stable")
-    boxes = det["boxes"][order]
-    scores = det["scores"][order].tolist()
-    classes = det["classes"][order].tolist()
-    masks = det["masks"][order]
+    boxes = det["boxes"]
+    classes = det["classes"].tolist()
+    masks = det["masks"]
+    box_scores = np.asarray(det["scores"])
+    mask_scores = np.asarray(det.get("mask_scores", det["scores"]))
     num_pred = len(classes)
+    box_order = np.argsort(-box_scores, kind="stable")
+    # eval.py: mask_indices = sorted(box_indices, key=-mask_score) (stable)
+    mask_order = box_order[np.argsort(-mask_scores[box_order],
+                                      kind="stable")]
 
     box_iou = _pairwise_box_iou(boxes, gt_boxes)
     mask_iou = _pairwise_mask_iou(masks, gt_masks)
@@ -117,18 +125,19 @@ def prep_metrics(ap_data: dict, det: dict, gt: dict) -> None:
     crowd_mask_iou = _pairwise_mask_iou(masks, crowd_masks, iscrowd=True)
 
     iou_types = [
-        ("box", box_iou, crowd_box_iou),
-        ("mask", mask_iou, crowd_mask_iou),
+        ("box", box_iou, crowd_box_iou, box_scores, box_order),
+        ("mask", mask_iou, crowd_mask_iou, mask_scores, mask_order),
     ]
     all_classes = set(classes + gt_classes)
     for _class in all_classes:
         num_gt_for_class = sum(1 for c in gt_classes if c == _class)
         for iouIdx, iou_threshold in enumerate(IOU_THRESHOLDS):
-            for iou_type, iou_cache, crowd_cache in iou_types:
+            for iou_type, iou_cache, crowd_cache, t_scores, order in \
+                    iou_types:
                 gt_used = [False] * len(gt_classes)
                 ap_obj = ap_data[iou_type][iouIdx][_class]
                 ap_obj.add_gt_positives(num_gt_for_class)
-                for i in range(num_pred):
+                for i in order:
                     if classes[i] != _class:
                         continue
                     max_iou_found = iou_threshold
@@ -142,7 +151,7 @@ def prep_metrics(ap_data: dict, det: dict, gt: dict) -> None:
                             max_match_idx = j
                     if max_match_idx >= 0:
                         gt_used[max_match_idx] = True
-                        ap_obj.push(scores[i], True)
+                        ap_obj.push(float(t_scores[i]), True)
                     else:
                         matched_crowd = False
                         for j in range(len(crowd_classes)):
@@ -152,7 +161,7 @@ def prep_metrics(ap_data: dict, det: dict, gt: dict) -> None:
                                 matched_crowd = True
                                 break
                         if not matched_crowd:
-                            ap_obj.push(scores[i], False)
+                            ap_obj.push(float(t_scores[i]), False)
 
 
 def calc_map(ap_data: dict, num_classes: int) -> dict:

@@ -74,7 +74,9 @@ class YolactConfig:
 
     @property
     def proto_size(self):
-        return self.img_size // 4  # P3 (/8) upsampled x2 => 550//4 = 138 (for 550: 69*2)
+        # P3 (three ceil-halvings) upsampled x2: 550 -> 69*2 = 138
+        # (img_size // 4 is off by one for 550)
+        return level_sizes(self)[0] * 2
 
 
 def level_sizes(cfg: YolactConfig):
@@ -179,14 +181,16 @@ def backbone_forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict
 def maskiou_net(params: dict, masks: jax.Array, cfg: YolactConfig) -> jax.Array:
     """FastMaskIoUNet (YOLACT++): [N, S, S] masks -> [N, num_classes-1] iou.
 
-    Conv stack (8,16,32,64,128 stride 2) + global max pool + 1x1 to classes
-    (yolact.py maskiou_net spec)."""
+    yolact.py maskiou_net spec with include_last_relu=True: conv stack
+    (8,16,32,64,128 stride 2, relu) -> 1x1 conv to classes + relu ->
+    SPATIAL max pool (F.max_pool2d over the full extent). The 1x1 conv
+    runs BEFORE the pool and the activation is relu, not sigmoid — max
+    and a signed linear map do not commute."""
     x = masks[..., None]
     for i, ch in enumerate((8, 16, 32, 64, 128)):
         x = L.relu(L.conv2d(x, params[f"conv{i}"], stride=2, padding=1))
-    x = jnp.max(x, axis=(1, 2))  # global max pool
-    return jax.nn.sigmoid(
-        jnp.dot(x, params["fc"]["weight"]) + params["fc"]["bias"])
+    x = L.relu(L.conv2d(x, params["conv_last"]))  # 1x1 to classes
+    return jnp.max(x, axis=(1, 2))  # spatial max pool -> [N, C-1]
 
 
 def forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
@@ -371,8 +375,8 @@ def init_params(key: jax.Array, cfg: YolactConfig, dtype=jnp.float32) -> dict:
                                       chans[i + 1], dtype=dtype)
             for i in range(5)
         }
-        maskiou["fc"] = L.linear_params(
-            next(keys), 128, cfg.num_classes - 1, dtype=dtype)
+        maskiou["conv_last"] = L.conv_params(
+            next(keys), 1, 1, 128, cfg.num_classes - 1, dtype=dtype)
     return {
         **({"maskiou": maskiou} if maskiou is not None else {}),
         "backbone": backbone,

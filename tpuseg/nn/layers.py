@@ -159,14 +159,6 @@ def global_avg_pool(x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))
 
 
-def resize_bilinear(x: jax.Array, out_hw: tuple, half_pixel: bool = True):
-    """Bilinear resize matching torch interpolate(align_corners=False)."""
-    n, h, w, c = x.shape
-    method = "linear" if half_pixel else "linear"
-    return jax.image.resize(x, (n, out_hw[0], out_hw[1], c), method=method,
-                            antialias=False)
-
-
 def resize_nearest(x: jax.Array, out_hw: tuple):
     """Nearest resize matching torch interpolate(mode='nearest') (floor rule)."""
     n, h, w, c = x.shape

@@ -110,19 +110,7 @@ def _block(x: jax.Array, p: dict, cfg: ViTConfig) -> jax.Array:
 
 def forward(params: dict, images: jax.Array, cfg: ViTConfig = VIT_B16):
     """images [B, H, W, 3] (already normalized) -> logits [B, num_classes]."""
-    x = L.conv2d(images, params["patch_embed"], stride=cfg.patch_size)
-    b, gh, gw, d = x.shape
-    x = x.reshape(b, gh * gw, d)
-    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (b, 1, d))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(x.dtype)
-
-    def body(carry, layer_params):
-        return _block(carry, layer_params, cfg), None
-
-    x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = L.layer_norm(x, params["ln"], cfg.ln_eps)
-    return L.linear(x[:, 0], params["head"])
+    return L.linear(features(params, images, cfg), params["head"])
 
 
 def features(params: dict, images: jax.Array, cfg: ViTConfig = VIT_B16):

@@ -84,11 +84,9 @@ def from_torch_state(flat: dict, cfg: YolactConfig) -> dict:
                 f"conv{i}": _conv(flat, f"{prefix}{2 * i}")
                 for i in range(5)
             }
-            last = _conv(flat, f"{prefix}10")  # 1x1 conv to classes
-            miou["fc"] = {
-                "weight": last["weight"].reshape(last["weight"].shape[2], -1),
-                "bias": last["bias"],
-            }
+            # the final 1x1 conv stays a conv: it runs BEFORE the spatial
+            # max pool (FastMaskIoUNet, include_last_relu=True)
+            miou["conv_last"] = _conv(flat, f"{prefix}10")
             out["maskiou"] = miou
             break
     return out
