@@ -36,8 +36,8 @@ def test_best_template_selects_exact_match(rng):
     kp = np.zeros((17, 3))
     kp[:, :2] = tpl * 200 + np.array([50, 80])
     kp[:, 2] = 2
-    A, res = P2S.best_template_affine(kp, cfg)
-    assert res < 1e-6
+    A, score, ti = P2S.choose_template(kp, cfg)
+    assert ti == 1 and score > 0.999  # exact match -> OKS ~ 1
     # A maps pixels back to unit frame
     got = kp[:, :2] @ A[:, :2].T + A[:, 2]
     np.testing.assert_allclose(got, tpl, atol=1e-6)

@@ -41,7 +41,12 @@ def main():
 
         d = DatasetCatalog.get(cfg.DATASETS.TRAIN)["args"]
         images, ann = d["root"], d["ann_file"]
-    dataset = CocoDetectionDataset(images, ann, label_map=None)
+    # contiguous 0..79 labels (COCO_LABEL_MAP then -1): the 81-way heads
+    # and eval's COCO_CATEGORY_IDS assume this; raw category_id-1 would
+    # scramble classes above id 12 and leave ids 82-90 unsupervised
+    from tpuseg.data.coco_dataset import COCO_LABEL_MAP
+
+    dataset = CocoDetectionDataset(images, ann, label_map=COCO_LABEL_MAP)
     print(f"training on {len(dataset)} images; "
           f"max_iter {cfg.SOLVER.MAX_ITER}")
     # honor the yaml's model settings (CONV_BODY depth, MASK_ON, NUM_CLASSES)

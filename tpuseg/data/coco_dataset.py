@@ -69,7 +69,10 @@ class CocoDetectionDataset:
             boxes.append([x, y, x + bw, y + bh])
             cid = ann["category_id"]
             if self.label_map is not None:
-                cid = self.label_map.get(cid, 0)
+                # fail loudly like upstream (KeyError): a silent .get(cid, 0)
+                # turned unknown categories into class -1, which collides
+                # with the padding/ignore label convention downstream
+                cid = self.label_map[cid]
             classes.append(cid - 1)
             crowd.append(int(ann.get("iscrowd", 0)))
             if with_masks:

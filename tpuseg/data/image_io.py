@@ -14,9 +14,12 @@ def load_image_rgb(path: str) -> np.ndarray:
             raise IOError(f"cv2 failed to read {path}")
         return np.ascontiguousarray(img[:, :, ::-1])
     except ImportError:  # pragma: no cover
-        from PIL import Image
+        from PIL import Image, ImageOps
 
-        return np.asarray(Image.open(path).convert("RGB"))
+        with Image.open(path) as im:
+            # cv2.imread auto-applies EXIF orientation; the PIL path must
+            # agree or the two backends decode rotated JPEGs differently
+            return np.asarray(ImageOps.exif_transpose(im).convert("RGB"))
 
 
 def load_image_bgr(path: str) -> np.ndarray:

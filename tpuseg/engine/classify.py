@@ -45,6 +45,15 @@ class ViTClassifier:
 
     def run_on_image(self, image_rgb_u8: np.ndarray, top_k: int = 5):
         """uint8 RGB HWC image -> (top_k class ids, probabilities)."""
+        # resize on host to the model's square input so the jitted program
+        # compiles ONCE (feeding raw shapes re-traced the whole ViT per
+        # distinct resolution)
+        import cv2
+
+        s = self.vit_cfg.image_size
+        if image_rgb_u8.shape[:2] != (s, s):
+            image_rgb_u8 = cv2.resize(image_rgb_u8, (s, s),
+                                      interpolation=cv2.INTER_LINEAR)
         logits = self._forward(self.params, jnp.asarray(image_rgb_u8)[None])
         probs = jax.nn.softmax(logits, -1)[0]
         top_p, top_i = jax.lax.top_k(probs, top_k)

@@ -68,19 +68,28 @@ def evaluate_coco_boxes(predictor: YoloPredictor, dataset, max_images=None,
     if max_images:
         ids = ids[:max_images]
     bs = predictor.batch_size
+    # ONE static canvas for the whole eval (dataset max, rounded to 32):
+    # per-chunk max shapes would recompile the jitted detector for nearly
+    # every batch
+    maxh = maxw = 1
+    for iid in ids:
+        info = dataset.coco.imgs[iid]
+        maxh = max(maxh, info["height"])
+        maxw = max(maxw, info["width"])
+    maxh = -(-maxh // 32) * 32
+    maxw = -(-maxw // 32) * 32
     results = []
     for start in range(0, len(ids), bs):
         chunk = ids[start:start + bs]
         imgs, hws = [], []
-        maxh = maxw = 0
         for iid in chunk:
             img = dataset.load_image(iid)
             imgs.append(img)
             hws.append(img.shape[:2])
-            maxh = max(maxh, img.shape[0])
-            maxw = max(maxw, img.shape[1])
         batch = np.zeros((bs, maxh, maxw, 3), np.uint8)
-        hw = np.zeros((bs, 2), np.int32)
+        # padded slots keep hw=(1,1): hw=(0,0) makes the letterbox scale
+        # inf and poisons the grid with NaNs
+        hw = np.ones((bs, 2), np.int32)
         for i, img in enumerate(imgs):
             batch[i, :img.shape[0], :img.shape[1]] = img
             hw[i] = img.shape[:2]

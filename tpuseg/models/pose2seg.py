@@ -24,6 +24,7 @@ device (affine_align / seg head / inverse grid_sample paste).
 """
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass
 
@@ -129,16 +130,26 @@ def load_templates_json(path: str) -> np.ndarray:
     arr = arr[:, :, :2]
     hi = arr.reshape(-1, 2).max(0)
     if (hi > 2.0).any():  # pixel-space templates -> normalize per template
+        # ONE shared span per template (max of x/y extents): per-axis
+        # min-max would stretch aspect ratio and change which template
+        # wins the OKS scoring
         lo = arr.min(axis=1, keepdims=True)
-        span = np.maximum(arr.max(axis=1, keepdims=True) - lo, 1e-6)
+        span = np.maximum((arr.max(axis=1, keepdims=True) - lo)
+                          .max(axis=2, keepdims=True), 1e-6)
         arr = (arr - lo) / span
     return arr
+
+
+@functools.lru_cache(maxsize=4)
+def _templates_cached(template_file: str) -> np.ndarray:
+    return load_templates_json(template_file)
 
 
 def templates(cfg: Pose2SegConfig | None = None) -> np.ndarray:
     """[T, 17, 2] canonical poses in the unit alignment frame."""
     if cfg is not None and cfg.template_file:
-        return load_templates_json(cfg.template_file)
+        # cached: choose_template runs per person in the eval hot loop
+        return _templates_cached(cfg.template_file)
     flip = _STAND.copy()
     flip[:, 0] = 1.0 - flip[:, 0]
     return np.stack([_STAND, _UPPER, flip])
@@ -211,13 +222,6 @@ def choose_template(kpts: np.ndarray, cfg: Pose2SegConfig):
         if score > best[1]:
             best = (A, score, ti)
     return best
-
-
-def best_template_affine(kpts: np.ndarray, cfg: Pose2SegConfig):
-    """Back-compat wrapper: returns (A, residual-like score where lower is
-    better)."""
-    A, score, _ = choose_template(kpts, cfg)
-    return A, (np.inf if A is None else 1.0 - score)
 
 
 def affine_to_theta(A: np.ndarray, h: int, w: int) -> np.ndarray:

@@ -4,6 +4,7 @@ json-lines Log."""
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from collections import deque
@@ -18,7 +19,9 @@ class MovingAverage:
         self.sum = 0.0
 
     def add(self, elem: float) -> None:
-        if not (elem != elem):  # skip NaN (reference guards infs in logs)
+        # math.isfinite like the reference: a single inf would poison the
+        # running sum into NaN forever once it leaves the window
+        if math.isfinite(elem):
             self.window.append(elem)
             self.sum += elem
             if len(self.window) > self.max_window_size:
