@@ -77,21 +77,29 @@ class NativeImageLoader:
     def is_native(self) -> bool:
         return self._native
 
-    @staticmethod
-    def _exif_orientation(path: str) -> int:
+    def _exif_orientation(self, path: str) -> int:
         """EXIF Orientation tag (1 = upright) via a header-only PIL open.
 
         The C++ decoder emits raw libjpeg pixels; cv2.imread (the
         reference's reader and our fallback) auto-applies orientation, so
         rotated files must not silently take the native fast path —
-        detections would be scored against rotated-frame annotations."""
-        try:
-            from PIL import Image
+        detections would be scored against rotated-frame annotations.
+        Cached per path: the header re-open would otherwise dominate the
+        pipelined decode loop on a weak host."""
+        cache = getattr(self, "_exif_cache", None)
+        if cache is None:
+            cache = self._exif_cache = {}
+        o = cache.get(path)
+        if o is None:
+            try:
+                from PIL import Image
 
-            with Image.open(path) as im:
-                return int(im.getexif().get(0x0112, 1))
-        except Exception:
-            return 1
+                with Image.open(path) as im:
+                    o = int(im.getexif().get(0x0112, 1))
+            except Exception:
+                o = 1
+            cache[path] = o
+        return o
 
     def load_batch(self, paths: list[str], out_h: int, out_w: int,
                    keep_aspect: bool = False):
