@@ -85,7 +85,12 @@ yolact_im700_config = register_config(
 
 yolact_im400_config = register_config(
     "yolact_im400_config",
-    yolact_base_config.copy({"name": "yolact_im400", "max_size": 400}),
+    # pred_scales rescale with the input (int(s / 550 * 400), upstream
+    # yolact_im400_config) — keeping the 550 scales would make every
+    # prior ~1.4x too large for the released im400 checkpoint
+    yolact_base_config.copy({"name": "yolact_im400", "max_size": 400,
+                             "scales": [int(s / 550 * 400)
+                                        for s in (24, 48, 96, 192, 384)]}),
 )
 
 # YOLACT++ (README.md:216-221 weight table): DCNv2 backbone (interval 3),

@@ -105,6 +105,9 @@ def random_sample_crop(rng, img, boxes, classes, masks, max_tries=50,
         )
         if not keep.any():
             continue
+        if iscrowd is not None and not (keep & ~iscrowd).any():
+            # reference requires at least one NON-crowd gt in the crop
+            continue
         l, t, r, btm = rect.astype(int)
         img = img[t:btm, l:r]
         boxes = boxes[keep].copy()

@@ -119,7 +119,12 @@ class NativeImageLoader:
                 raise IOError(f"failed to load image: {paths[rc - 1]}")
             return out, hw
 
-        # fallback: cv2 threads
+        # fallback: cv2 threads (also taken by native builds when a batch
+        # contains EXIF-rotated files -> create the pool lazily)
+        if not hasattr(self, "_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(self.threads)
         import cv2
 
         def one(i):

@@ -12,6 +12,7 @@ mask upsample 138 -> (h, w) + 0.5 binarize (output_utils.postprocess).
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -225,15 +226,29 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
 
         from tpuseg.eval.cocoeval import COCOeval
 
+        # two jsons like the reference: the mask file must NOT carry bbox
+        # keys (loadRes' bbox branch would take precedence and bin segm
+        # detections by box area instead of mask area) and uses the
+        # maskiou-rescored score when present
         bbox_res = [
-            {k: v for k, v in r.items() if k != "segmentation"}
+            {k: v for k, v in r.items()
+             if k not in ("segmentation", "mask_score")}
             for r in coco_results
         ]
+        mask_res = [
+            {**{k: v for k, v in r.items()
+                if k not in ("bbox", "mask_score")},
+             "score": r.get("mask_score", r["score"])}
+            for r in coco_results
+        ]
+        d = os.path.dirname(output_coco_json)
+        if d:
+            os.makedirs(d, exist_ok=True)
         with open(f"{output_coco_json}_bbox.json", "w") as f:
             json.dump(bbox_res, f)
         with open(f"{output_coco_json}_mask.json", "w") as f:
-            json.dump(coco_results, f)
-        for iou_type, res in (("bbox", bbox_res), ("segm", coco_results)):
+            json.dump(mask_res, f)
+        for iou_type, res in (("bbox", bbox_res), ("segm", mask_res)):
             print(f"== COCOeval {iou_type} ==")
             E = COCOeval(dataset.coco, dataset.coco.loadRes(res), iou_type)
             E.evaluate()
@@ -245,11 +260,9 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
 def detections_to_coco_json(final: dict, image_id: int, label_map_inv: dict):
     """One image's final dets -> COCO result dicts (bbox + segm).
 
-    Note: these combined dicts carry the box score; YOLACT++ maskiou
-    rescoring is honored by the reference's own mAP protocol
-    (eval/yolact_map.py consumes final['mask_scores']) — the reference
-    dumps separate bbox/mask jsons, which a combined-dict loadRes cannot
-    represent."""
+    The combined dicts carry a 'mask_score' side-key (YOLACT++ maskiou
+    rescoring) that the dump step splits into the reference's separate
+    bbox/mask jsons."""
     from tpuseg.eval import rle as rle_mod
 
     out = []
@@ -257,11 +270,14 @@ def detections_to_coco_json(final: dict, image_id: int, label_map_inv: dict):
         x1, y1, x2, y2 = final["boxes"][i]
         cat = label_map_inv.get(int(final["classes"][i]) + 1,
                                 int(final["classes"][i]) + 1)
-        out.append({
+        det = {
             "image_id": int(image_id),
             "category_id": int(cat),
             "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
             "score": float(final["scores"][i]),
             "segmentation": rle_mod.encode(final["masks"][i]),
-        })
+        }
+        if "mask_scores" in final:
+            det["mask_score"] = float(final["mask_scores"][i])
+        out.append(det)
     return out

@@ -67,6 +67,13 @@ def batch_iterator(dataset, cfg, rng: np.random.Generator, batch_size: int,
                 aimg, aboxes, aclasses, amasks, acrowd = ssd_augment(
                     rng, img, gt["boxes"], gt["classes"],
                     gt["masks"], acfg, iscrowd=gt["iscrowd"].astype(bool))
+                # crowds go LAST (reference appends them after real gts) so
+                # the max_gt cap never evicts a real gt in favor of a crowd
+                order = np.argsort(acrowd, kind="stable")
+                aboxes, aclasses, acrowd = (
+                    aboxes[order], aclasses[order], acrowd[order])
+                if len(amasks):
+                    amasks = amasks[order]
                 # ssd_augment returns normalized boxes; masks at train size
                 tgts.append(build_targets_np(
                     {"boxes": aboxes, "classes": aclasses, "masks": amasks,

@@ -84,6 +84,15 @@ def evaluate_coco_boxes(predictor: YoloPredictor, dataset, max_images=None,
         imgs, hws = [], []
         for iid in chunk:
             img = dataset.load_image(iid)
+            info = dataset.coco.imgs[iid]
+            if img.shape[:2] != (info["height"], info["width"]):
+                # decode disagrees with the json metadata (e.g. EXIF
+                # rotation): annotations live in the metadata frame, so
+                # conform the pixels to it rather than overflow the canvas
+                import cv2
+
+                img = cv2.resize(img, (info["width"], info["height"]),
+                                 interpolation=cv2.INTER_LINEAR)
             imgs.append(img)
             hws.append(img.shape[:2])
         batch = np.zeros((bs, maxh, maxw, 3), np.uint8)

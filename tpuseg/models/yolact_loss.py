@@ -174,7 +174,8 @@ def mask_loss(
     return cfg.mask_alpha * jnp.sum(per_inst)
 
 
-def semantic_loss(sem_logits, gt_classes, gt_masks_sem, cfg: YolactLossConfig):
+def semantic_loss(sem_logits, gt_classes, gt_masks_sem,
+                  cfg: YolactLossConfig, gt_crowd=None):
     """Aux semantic loss: per-class BCE on P3-scale class maps.
 
     gt_masks_sem: [G, Hs, Ws]; target per class c = max over instances of
@@ -183,6 +184,10 @@ def semantic_loss(sem_logits, gt_classes, gt_masks_sem, cfg: YolactLossConfig):
     hs, ws, c = sem_logits.shape
     g = gt_classes.shape[0]
     valid = gt_classes >= 0
+    if gt_crowd is not None:
+        # the reference splits crowds off labels/masks before the semantic
+        # loss — a crowd RLE must not paint its class channel
+        valid = valid & ~gt_crowd
     onehot = jax.nn.one_hot(jnp.clip(gt_classes, 0), c, dtype=sem_logits.dtype)
     onehot = jnp.where(valid[:, None], onehot, 0.0)
     # [Hs, Ws, C] target = max over instances
@@ -210,7 +215,7 @@ def total_loss(preds, sem_logits, targets, priors, key, cfg: YolactLossConfig):
         ) * cfg.bbox_alpha
         l_mask = mask_loss(proto, coeff, conf_t, midx, boxes, masks_proto,
                            key, cfg)
-        l_sem = semantic_loss(sem, classes, masks_sem, cfg)
+        l_sem = semantic_loss(sem, classes, masks_sem, cfg, gt_crowd=crowd)
         return l_loc, l_mask, l_sem, conf_t, jnp.sum(pos)
 
     keys = jax.random.split(key, b)
