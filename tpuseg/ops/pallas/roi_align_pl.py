@@ -31,66 +31,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
-                 level_span, nbuf):
+                 level_span, nbuf, group):
     """level_shapes: list of (H_l, W_l_padded) static per level;
     level_rows/level_span: per-level DMA window bounds (the canonical FPN
     assignment bounds roi extents on levels below the clamped top, so
-    their windows are smaller than the worst case). nbuf window buffers
-    keep nbuf-1 DMAs in flight: per-roi compute is tiny, so throughput is
-    set by DMA latency, not bandwidth — deeper pipelining hides it."""
+    their windows are smaller than the worst case).
+
+    Each grid step processes ``group`` rois (amortizing the per-step
+    mechanics that dominate once the matmuls are tiny) with ``nbuf`` slot
+    groups — (nbuf-1)*group window DMAs stay in flight while a step
+    computes."""
     num_levels = len(level_shapes)
     ps = p * s
 
     def kernel(
-        # scalar prefetch (whole arrays — needed for the i+1 DMA lookahead)
+        # scalar prefetch (whole arrays — needed for the DMA lookahead)
         level_ref,  # [N] int32
         bidx_ref,  # [N] int32
         row_start_ref,  # [N] int32
-        col_start_ref,  # [N] int32 (8-aligned)
+        col_start_ref,  # [N] int32 (aligned)
         # blocked per-step inputs
-        hw_ref,  # [1, 1, 4] int32 SMEM: true (H, W, window_rows, window_span)
-        boxf_ref,  # [1, 1, 4] f32 SMEM block: x1, y1, bin_w, bin_h (cells)
+        hw_ref,  # [G, 1, 4] int32 SMEM: true (H, W, window_rows, window_span)
+        boxf_ref,  # [G, 1, 4] f32 SMEM block: x1, y1, bin_w, bin_h (cells)
         *refs,
     ):
         lvl_refs = refs[:num_levels]
-        out_ref = refs[num_levels]
-        tile_ref = refs[num_levels + 1]  # [2, ROWS, SPAN, C] VMEM
-        sems = refs[num_levels + 2]  # DMA sems [2]
+        out_ref = refs[num_levels]  # [G, p, p, c]
+        tile_ref = refs[num_levels + 1]  # [nbuf, G, ROWS, SPAN, C] VMEM
+        sems = refs[num_levels + 2]  # DMA sems [nbuf, G]
 
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
-        def issue(j, slot):
-            lv = level_ref[j]
-            bi = bidx_ref[j]
-            r0 = row_start_ref[j]
-            c0 = pl.multiple_of(col_start_ref[j], align)
-            for li, (hl, wl) in enumerate(level_shapes):
-                rl = min(rows, hl, level_rows[li])
-                sl = min(span, wl, level_span[li])
+        def issue(jstep, slot):
+            for g in range(group):
+                j = jstep * group + g
+                lv = level_ref[j]
+                bi = bidx_ref[j]
+                r0 = row_start_ref[j]
+                c0 = pl.multiple_of(col_start_ref[j], align)
+                for li, (hl, wl) in enumerate(level_shapes):
+                    rl = min(rows, hl, level_rows[li])
+                    sl = min(span, wl, level_span[li])
 
-                @pl.when(lv == li)
-                def _():
-                    pltpu.make_async_copy(
-                        lvl_refs[li].at[
-                            bi, pl.ds(r0, rl), pl.ds(c0, sl), :],
-                        tile_ref.at[slot, pl.ds(0, rl), pl.ds(0, sl), :],
-                        sems.at[slot],
-                    ).start()
+                    @pl.when(lv == li)
+                    def _():
+                        pltpu.make_async_copy(
+                            lvl_refs[li].at[
+                                bi, pl.ds(r0, rl), pl.ds(c0, sl), :],
+                            tile_ref.at[slot, g, pl.ds(0, rl),
+                                        pl.ds(0, sl), :],
+                            sems.at[slot, g],
+                        ).start()
 
-        def wait(j, slot):
-            lv = level_ref[j]
-            for li, (hl, wl) in enumerate(level_shapes):
-                rl = min(rows, hl, level_rows[li])
-                sl = min(span, wl, level_span[li])
+        def wait(jstep, slot):
+            for g in range(group):
+                j = jstep * group + g
+                lv = level_ref[j]
+                for li, (hl, wl) in enumerate(level_shapes):
+                    rl = min(rows, hl, level_rows[li])
+                    sl = min(span, wl, level_span[li])
 
-                @pl.when(lv == li)
-                def _():
-                    pltpu.make_async_copy(
-                        lvl_refs[li].at[0, pl.ds(0, rl), pl.ds(0, sl), :],
-                        tile_ref.at[slot, pl.ds(0, rl), pl.ds(0, sl), :],
-                        sems.at[slot],
-                    ).wait()
+                    @pl.when(lv == li)
+                    def _():
+                        pltpu.make_async_copy(
+                            lvl_refs[li].at[0, pl.ds(0, rl), pl.ds(0, sl), :],
+                            tile_ref.at[slot, g, pl.ds(0, rl),
+                                        pl.ds(0, sl), :],
+                            sems.at[slot, g],
+                        ).wait()
 
         @pl.when(i == 0)
         def _():
@@ -106,82 +115,82 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
 
         wait(i, i % nbuf)
 
-        # --- sample coordinates (ROIAlign_cuda semantics), [PS] vectors
-        row_start = row_start_ref[i]
-        col_start = col_start_ref[i]
-        height = hw_ref[0, 0, 0]
-        width = hw_ref[0, 0, 1]
-        x1 = boxf_ref[0, 0, 0]
-        y1 = boxf_ref[0, 0, 1]
-        bin_w = boxf_ref[0, 0, 2]
-        bin_h = boxf_ref[0, 0, 3]
-        grid = (
-            jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
-            .astype(jnp.float32) + 0.5
-        ) / s
-        ys = y1 + grid * bin_h
-        xs = x1 + grid * bin_w
-        h_f = height.astype(jnp.float32)
-        w_f = width.astype(jnp.float32)
-        y_oob = (ys < -1.0) | (ys > h_f)
-        x_oob = (xs < -1.0) | (xs > w_f)
-        yc = jnp.clip(ys, 0.0, h_f - 1.0)
-        xc = jnp.clip(xs, 0.0, w_f - 1.0)
-        y0 = jnp.floor(yc)
-        x0 = jnp.floor(xc)
-        ly = yc - y0
-        lx = xc - x0
-        y0l = y0.astype(jnp.int32) - row_start
-        x0l = x0.astype(jnp.int32) - col_start
-        y1l = jnp.minimum(y0.astype(jnp.int32) + 1, height - 1) - row_start
-        x1l = jnp.minimum(x0.astype(jnp.int32) + 1, width - 1) - col_start
+        for g in range(group):
+            j_abs = i * group + g
+            # --- sample coordinates (ROIAlign_cuda semantics), [PS]
+            row_start = row_start_ref[j_abs]
+            col_start = col_start_ref[j_abs]
+            height = hw_ref[g, 0, 0]
+            width = hw_ref[g, 0, 1]
+            x1 = boxf_ref[g, 0, 0]
+            y1 = boxf_ref[g, 0, 1]
+            bin_w = boxf_ref[g, 0, 2]
+            bin_h = boxf_ref[g, 0, 3]
+            grid = (
+                jax.lax.broadcasted_iota(jnp.int32, (ps, 1), 0)[:, 0]
+                .astype(jnp.float32) + 0.5
+            ) / s
+            ys = y1 + grid * bin_h
+            xs = x1 + grid * bin_w
+            h_f = height.astype(jnp.float32)
+            w_f = width.astype(jnp.float32)
+            y_oob = (ys < -1.0) | (ys > h_f)
+            x_oob = (xs < -1.0) | (xs > w_f)
+            yc = jnp.clip(ys, 0.0, h_f - 1.0)
+            xc = jnp.clip(xs, 0.0, w_f - 1.0)
+            y0 = jnp.floor(yc)
+            x0 = jnp.floor(xc)
+            ly = yc - y0
+            lx = xc - x0
+            y0l = y0.astype(jnp.int32) - row_start
+            x0l = x0.astype(jnp.int32) - col_start
+            y1l = jnp.minimum(y0.astype(jnp.int32) + 1, height - 1) - row_start
+            x1l = jnp.minimum(x0.astype(jnp.int32) + 1, width - 1) - col_start
 
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (ps, rows), 1)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (ps, span), 1)
-        wy0 = jnp.where(y_oob, 0.0, 1.0 - ly)
-        wy1 = jnp.where(y_oob, 0.0, ly)
-        wx0 = jnp.where(x_oob, 0.0, 1.0 - lx)
-        wx1 = jnp.where(x_oob, 0.0, lx)
-        ay = (
-            (r_iota == y0l[:, None]).astype(jnp.float32) * wy0[:, None]
-            + (r_iota == y1l[:, None]).astype(jnp.float32) * wy1[:, None]
-        )
-        ax = (
-            (c_iota == x0l[:, None]).astype(jnp.float32) * wx0[:, None]
-            + (c_iota == x1l[:, None]).astype(jnp.float32) * wx1[:, None]
-        )
-        # fold the s x s sample average into the interpolation matrices
-        # (pooling is linear: mean_jk Ay_j T Ax_k^T = (mean_j Ay_j) T
-        # (mean_k Ax_k)^T) -> matmul rows shrink ps -> p, a s^2 FLOP cut
-        ay = ay.reshape(p, s, rows).sum(axis=1) * (1.0 / s)  # [P, ROWS]
-        ax = ax.reshape(p, s, span).sum(axis=1) * (1.0 / s)  # [P, SPAN]
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (ps, rows), 1)
+            c_iota = jax.lax.broadcasted_iota(jnp.int32, (ps, span), 1)
+            wy0 = jnp.where(y_oob, 0.0, 1.0 - ly)
+            wy1 = jnp.where(y_oob, 0.0, ly)
+            wx0 = jnp.where(x_oob, 0.0, 1.0 - lx)
+            wx1 = jnp.where(x_oob, 0.0, lx)
+            ay = (
+                (r_iota == y0l[:, None]).astype(jnp.float32) * wy0[:, None]
+                + (r_iota == y1l[:, None]).astype(jnp.float32) * wy1[:, None]
+            )
+            ax = (
+                (c_iota == x0l[:, None]).astype(jnp.float32) * wx0[:, None]
+                + (c_iota == x1l[:, None]).astype(jnp.float32) * wx1[:, None]
+            )
+            # fold the s x s sample average into the interpolation matrices
+            # (pooling is linear: mean_jk Ay_j T Ax_k^T = (mean_j Ay_j) T
+            # (mean_k Ax_k)^T) -> matmul rows shrink ps -> p, s^2 FLOP cut
+            ay = ay.reshape(p, s, rows).sum(axis=1) * (1.0 / s)  # [P, ROWS]
+            ax = ax.reshape(p, s, span).sum(axis=1) * (1.0 / s)  # [P, SPAN]
 
-        # mask the tile to this box's DMA window: regions beyond it hold
-        # stale/uninitialized data, and 0-weight x NaN would poison the
-        # interpolation matmuls
-        rl_d = hw_ref[0, 0, 2]
-        sl_d = hw_ref[0, 0, 3]
-        rmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0) < rl_d
-        cmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) < sl_d
-        # minor-dim insertion must happen on a 32-bit type (Mosaic), and
-        # masking must be a select (0 * NaN stays NaN on uninitialized VMEM)
-        maskf = (rmask & cmask).astype(jnp.float32)
-        tile = tile_ref[i % nbuf].astype(jnp.float32)  # [ROWS, SPAN, C]
-        tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
-        tmp = jax.lax.dot_general(
-            ay, tile.reshape(rows, span * c),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # exact f32 interpolation
-        ).reshape(p, span, c)
-        full = jax.lax.dot_general(
-            ax, tmp,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [Px, Py, C]
-        pooled = jnp.transpose(full, (1, 0, 2))
-        out_ref[0] = pooled.astype(out_ref.dtype)
+            # mask the tile to this box's DMA window: regions beyond it hold
+            # stale/uninitialized data, and 0-weight x NaN would poison the
+            # interpolation matmuls
+            rl_d = hw_ref[g, 0, 2]
+            sl_d = hw_ref[g, 0, 3]
+            rmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0) < rl_d
+            cmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) < sl_d
+            maskf = (rmask & cmask).astype(jnp.float32)
+            tile = tile_ref[i % nbuf, g].astype(jnp.float32)  # [ROWS, SPAN, C]
+            tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
+            tmp = jax.lax.dot_general(
+                ay, tile.reshape(rows, span * c),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # exact f32 interp
+            ).reshape(p, span, c)
+            full = jax.lax.dot_general(
+                ax, tmp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Px, Py, C]
+            pooled = jnp.transpose(full, (1, 0, 2))
+            out_ref[g] = pooled.astype(out_ref.dtype)
 
     return kernel
 
@@ -288,7 +297,7 @@ def make_differentiable_pooler(output_size: int, sampling_ratio: int,
 @functools.partial(
     jax.jit,
     static_argnames=("output_size", "sampling_ratio", "strides", "rows",
-                     "span", "interpret", "nbuf"),
+                     "span", "interpret", "nbuf", "group"),
 )
 def multilevel_roi_align_pallas(
     feats: tuple,
@@ -301,7 +310,8 @@ def multilevel_roi_align_pallas(
     rows: int = 44,
     span: int = 64,  # max roi extent (44) + alignment slack (<= 31)
     interpret: bool = False,
-    nbuf: int | None = None,  # DMA pipeline depth (default by dtype)
+    nbuf: int | None = None,  # DMA slot groups (default by dtype)
+    group: int | None = None,  # rois per grid step (default by dtype)
 ) -> jax.Array:
     """Drop-in replacement for sampling.multilevel_roi_align (same contract).
 
@@ -314,10 +324,13 @@ def multilevel_roi_align_pallas(
     n = boxes.shape[0]
     p = output_size
     s = sampling_ratio
+    small = jnp.dtype(feats[0].dtype).itemsize <= 2
     if nbuf is None:
-        # per-roi compute is tiny -> DMA-latency-bound; keep nbuf-1 windows
-        # in flight. f32 windows are 2x the VMEM, so pipeline less deep.
-        nbuf = 4 if jnp.dtype(feats[0].dtype).itemsize <= 2 else 3
+        nbuf = 2  # slot groups; in-flight DMAs = (nbuf-1)*group
+    if group is None:
+        # per-step mechanics dominate once the matmuls are tiny: batch
+        # several rois per grid step. f32 windows are 2x the VMEM.
+        group = 4 if small else 2
     # safety: a box whose extent would overflow its level's DMA window is
     # pooled from the next coarser level instead of silently zero-padding
     levels = clamp_levels_to_window(feats, boxes, levels.astype(jnp.int32),
@@ -372,30 +385,42 @@ def multilevel_roi_align_pallas(
     hw = jnp.stack([hs, ws, rows_per_box, span_per_box],
                    axis=1).reshape(n, 1, 4)
     boxf = boxf.reshape(n, 1, 4)
+    # pad the roi axis to a multiple of the per-step group (pad rows pool
+    # garbage from window (0,0) of level 0 and are sliced off below)
+    pad = (-n) % group
+    if pad:
+        levels = jnp.pad(levels, (0, pad))
+        batch_idx = jnp.pad(batch_idx, (0, pad))
+        row_start = jnp.pad(row_start, (0, pad))
+        col_start = jnp.pad(col_start, (0, pad))
+        hw = jnp.pad(hw, ((0, pad), (0, 0), (0, 0)),
+                     constant_values=1)
+        boxf = jnp.pad(boxf, ((0, pad), (0, 0), (0, 0)))
+    n_pad = n + pad
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n,),
+        grid=(n_pad // group,),
         in_specs=[
-            pl.BlockSpec((1, 1, 4), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((group, 1, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 4), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((group, 1, 4), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in feats_p],
         out_specs=pl.BlockSpec(
-            (1, p, p, c), lambda i, *_: (i, 0, 0, 0),
+            (group, p, p, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, rows, span, c), feats[0].dtype),
-            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.VMEM((nbuf, group, rows, span, c), feats[0].dtype),
+            pltpu.SemaphoreType.DMA((nbuf, group)),
         ],
     )
     kernel = _make_kernel(p, s, rows, span, shapes_pad, c, align,
-                          lv_rows_b, lv_span_b, nbuf)
+                          lv_rows_b, lv_span_b, nbuf, group)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, p, p, c), feats[0].dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, p, p, c), feats[0].dtype),
         interpret=interpret,
     )(levels.astype(jnp.int32), batch_idx.astype(jnp.int32), row_start,
       col_start, hw, boxf, *feats_p)
-    return out
+    return out[:n]
