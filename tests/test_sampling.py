@@ -17,13 +17,16 @@ def np_roi_align(feat_bhwc, rois, batch_idx, p, scale, ratio, aligned=False):
         if not aligned:
             rw, rh = max(rw, 1.0), max(rh, 1.0)
         bw, bh = rw / p, rh / p
+        # ratio 0 = adaptive (ROIAlign_cuda.cu): grid = ceil(roi_extent / p)
+        gh = ratio if ratio > 0 else int(np.ceil(rh / p))
+        gw = ratio if ratio > 0 else int(np.ceil(rw / p))
         for py in range(p):
             for px in range(p):
                 acc = np.zeros(c)
-                for sy in range(ratio):
-                    for sx in range(ratio):
-                        y = y1 + (py + (sy + 0.5) / ratio) * bh
-                        x = x1 + (px + (sx + 0.5) / ratio) * bw
+                for sy in range(gh):
+                    for sx in range(gw):
+                        y = y1 + (py + (sy + 0.5) / gh) * bh
+                        x = x1 + (px + (sx + 0.5) / gw) * bw
                         if y < -1.0 or y > h or x < -1.0 or x > w:
                             continue
                         y = min(max(y, 0.0), h - 1)
@@ -37,7 +40,7 @@ def np_roi_align(feat_bhwc, rois, batch_idx, p, scale, ratio, aligned=False):
                             + ly * (1 - lx) * img[y1i, x0]
                             + ly * lx * img[y1i, x1i]
                         )
-                out[i, py, px] = acc / (ratio * ratio)
+                out[i, py, px] = acc / (gh * gw)
     return out.astype(np.float32)
 
 
@@ -58,6 +61,29 @@ def test_roi_align_matches_golden(rng):
         )
         want = np_roi_align(feat, rois, bi, 7, 0.25, 2, aligned)
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_adaptive_ratio_matches_golden(rng):
+    """sampling_ratio=0: the reference's adaptive ceil(roi/out) grid (the C4
+    configs' default — PARITY caveat 1), including rois whose adaptive grid
+    differs per-axis and tiny rois (grid=1)."""
+    feat = rng.standard_normal((2, 24, 32, 8)).astype(np.float32)
+    xy = rng.uniform(-10, 100, (11, 2))
+    wh = rng.uniform(2, 120, (11, 2))
+    rois = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+    # degenerate + extreme-aspect rois
+    rois = np.concatenate([rois, [[5, 5, 6, 6], [0, 0, 127, 9],
+                                  [0, 0, 9, 95]]]).astype(np.float32)
+    n = len(rois)
+    bi = rng.integers(0, 2, n).astype(np.int32)
+    got = np.asarray(
+        S.roi_align(
+            jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+            output_size=7, spatial_scale=0.25, sampling_ratio=0, chunk=8,
+        )
+    )
+    want = np_roi_align(feat, rois, bi, 7, 0.25, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_roi_pool_basic():

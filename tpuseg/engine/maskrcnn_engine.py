@@ -250,6 +250,8 @@ def model_config_from_node(node):
             depth=depth,
             rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 6000)),
             rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
+            pooler_sampling_ratio=int(
+                get("MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO", 0)),
             num_classes=num_classes,
             mask_on=mask_on,
         )

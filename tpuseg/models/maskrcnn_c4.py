@@ -37,7 +37,10 @@ class MaskRCNNC4Config:
     rpn_nms_thresh: float = 0.7
     num_classes: int = 81
     pooler_resolution: int = 14
-    pooler_sampling_ratio: int = 2
+    # 0 = adaptive ceil(roi/out) grid — the upstream default the C4 configs
+    # inherit (the reference's C4 yaml sets no POOLER_SAMPLING_RATIO;
+    # README.md:263-284); FPN configs override to 2 in yaml
+    pooler_sampling_ratio: int = 0
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 100

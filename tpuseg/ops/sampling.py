@@ -111,17 +111,18 @@ def roi_align(
 ) -> jax.Array:
     """RoIAlign. features [B,H,W,C], rois [N,4] xyxy image coords -> [N,P,P,C].
 
-    Semantics follow upstream ROIAlign_cuda.cu with a static sampling grid
-    (``sampling_ratio`` must be > 0; the reference's adaptive ratio-0 mode is
-    data-dependent and incompatible with a single compiled program — the
-    shipped configs use ratio 2). ``aligned=False`` reproduces
-    maskrcnn-benchmark (no half-pixel offset, extents clamped to >= 1).
+    Semantics follow upstream ROIAlign_cuda.cu. ``sampling_ratio > 0`` uses a
+    static per-bin grid; ``sampling_ratio == 0`` reproduces the reference's
+    ADAPTIVE mode (per-roi grid = ceil(roi_extent / output_size) per axis) in
+    static shapes: a static upper-bound lattice derived from the feature
+    extent with per-roi sample masking and a weighted (sum / gh*gw) average —
+    exact because no roi clipped to the canvas can need a denser grid than
+    the bound. ``aligned=False`` reproduces maskrcnn-benchmark (no half-pixel
+    offset, extents clamped to >= 1).
     """
-    assert sampling_ratio > 0, "adaptive sampling_ratio=0 is not jit-compatible"
     b, h, w, c = features.shape
     n = rois.shape[0]
     p = output_size
-    s = sampling_ratio
     feat_flat = features.reshape(b * h * w, c)
 
     offset = 0.5 if aligned else 0.0
@@ -137,27 +138,50 @@ def roi_align(
     bin_w = roi_w / p
     bin_h = roi_h / p
 
-    # sample point offsets within a roi: (p*s) points per axis
-    grid = (jnp.arange(p * s, dtype=features.dtype) + 0.5) / s  # in bin units
-    # per-roi absolute coords [N, P*S]
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+    if sampling_ratio > 0:
+        s = sampling_ratio
+        gh = gw = jnp.full((n,), s, jnp.float32)
+    else:
+        # adaptive: gh = ceil(roi_h / p) per roi (ROIAlign_cuda.cu ratio-0).
+        # Static bound: an image-spanning roi needs ceil(extent / p) samples.
+        s = -(-max(h, w) // p)
+        gh = jnp.clip(jnp.ceil(roi_h / p), 1, s)
+        gw = jnp.clip(jnp.ceil(roi_w / p), 1, s)
+
+    # sample point offsets within a roi: (p*s) points per axis; slot i of
+    # bin bb sits at bb + (i+0.5)/g bin-units (slots >= g are masked off)
+    bins = jnp.arange(p, dtype=features.dtype)
+    slots = jnp.arange(s, dtype=features.dtype)
+    gy = bins[None, :, None] + (slots[None, None, :] + 0.5) / gh[:, None, None]
+    gx = bins[None, :, None] + (slots[None, None, :] + 0.5) / gw[:, None, None]
+    ys = (y1[:, None] + gy.reshape(n, p * s) * bin_h[:, None])
+    xs = (x1[:, None] + gx.reshape(n, p * s) * bin_w[:, None])
+    vy = jnp.broadcast_to(slots[None, None, :] < gh[:, None, None],
+                          (n, p, s)).reshape(n, p * s)
+    vx = jnp.broadcast_to(slots[None, None, :] < gw[:, None, None],
+                          (n, p, s)).reshape(n, p * s)
+    inv_count = 1.0 / (gh * gw)  # [N]
 
     def one_chunk(args):
-        ys_c, xs_c, bi_c = args  # [n_c, P*S], [n_c]
+        ys_c, xs_c, vy_c, vx_c, ic_c, bi_c = args  # [n_c, P*S] ..., [n_c]
         yy = ys_c[:, :, None]  # [n_c, PS, 1]
         xx = xs_c[:, None, :]  # [n_c, 1, PS]
         yy, xx = jnp.broadcast_arrays(yy, xx)
         idx4, w4 = _bilinear_corners(yy, xx, h, w)
+        w4 = jnp.where((vy_c[:, :, None] & vx_c[:, None, :])[..., None],
+                       w4, 0.0)
         idx4 = idx4 + (bi_c[:, None, None, None] * (h * w))
         out = _gather_weighted(feat_flat, idx4, w4)  # [n_c, PS, PS, C]
         nc = out.shape[0]
-        out = out.reshape(nc, p, s, p, s, c).mean(axis=(2, 4))
-        return out.astype(features.dtype)
+        out = out.reshape(nc, p, s, p, s, c).sum(axis=(2, 4))
+        return (out * ic_c[:, None, None, None]).astype(features.dtype)
 
     pad = (-n) % chunk
     ys_p = jnp.pad(ys, ((0, pad), (0, 0)))
     xs_p = jnp.pad(xs, ((0, pad), (0, 0)))
+    vy_p = jnp.pad(vy, ((0, pad), (0, 0)))
+    vx_p = jnp.pad(vx, ((0, pad), (0, 0)))
+    ic_p = jnp.pad(inv_count, ((0, pad),), constant_values=1.0)
     bi_p = jnp.pad(batch_idx.astype(jnp.int32), ((0, pad),))
     nchunks = (n + pad) // chunk
     out = jax.lax.map(
@@ -165,6 +189,9 @@ def roi_align(
         (
             ys_p.reshape(nchunks, chunk, p * s),
             xs_p.reshape(nchunks, chunk, p * s),
+            vy_p.reshape(nchunks, chunk, p * s),
+            vx_p.reshape(nchunks, chunk, p * s),
+            ic_p.reshape(nchunks, chunk),
             bi_p.reshape(nchunks, chunk),
         ),
     )
