@@ -272,13 +272,16 @@ def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
     # from the next coarser level; applied on BOTH paths so they agree
     levels = clamp_levels_to_window(
         tuple(feats), boxes, levels, tuple(strides))
+    from tpuseg.ops import pallas as pallas_pkg
+
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = pallas_pkg.pallas_enabled(jax.default_backend() == "tpu")
     if use_pallas:
         from tpuseg.ops.pallas.roi_align_pl import make_differentiable_pooler
 
         pooler = make_differentiable_pooler(
-            resolution, sampling_ratio, tuple(strides))
+            resolution, sampling_ratio, tuple(strides),
+            interpret=pallas_pkg.pallas_interpret())
         return pooler(tuple(feats), boxes, batch_idx, levels)
     return sampling.multilevel_roi_align(
         tuple(feats), boxes, batch_idx, levels, output_size=resolution,

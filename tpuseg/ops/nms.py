@@ -166,12 +166,15 @@ def nms_mask_batch(boxes, scores, iou_threshold, valid=None,
     On TPU this is ONE Pallas kernel launch for the whole batch
     (ops/pallas/nms_pl.py); elsewhere a vmap of the jnp tiled NMS.
     """
+    from tpuseg.ops import pallas as pallas_pkg
+
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = pallas_pkg.pallas_enabled(jax.default_backend() == "tpu")
     if use_pallas:
         from tpuseg.ops.pallas.nms_pl import nms_mask_pallas_batched
 
         return nms_mask_pallas_batched(boxes, scores, iou_threshold, valid,
+                                       interpret=pallas_pkg.pallas_interpret(),
                                        to_remove=to_remove)
     if valid is None:
         valid = jnp.ones(scores.shape, bool)
