@@ -340,3 +340,43 @@ def test_maskiou_net_matches_torch_semantics(rng):
         want = F.max_pool2d(x, kernel_size=x.shape[2:]).squeeze(-1).squeeze(
             -1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_prior_topk_two_stage_exact(rng):
+    """prior_topk two-stage candidate selection equals the one-stage path
+    whenever <= prior_topk priors pass conf_thresh (the trained-weights
+    regime — the bench/serving fast path must be detection-identical)."""
+    cfg = small_cfg()
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    n = priors.shape[0]
+    nc = cfg.num_classes
+    # sparse realistic confs: ~40 peaked priors, the rest ~uniform
+    # background (softmax max well below conf_thresh after bg margin)
+    conf = rng.standard_normal((1, n, nc)).astype(np.float32) * 0.01
+    conf[..., 0] += 6.0  # strong background everywhere
+    hot = rng.choice(n, 40, replace=False)
+    for i in hot:
+        conf[0, i, 1 + rng.integers(0, nc - 1)] += 9.0 + rng.uniform(0, 3)
+    preds = {
+        "loc": jnp.asarray(rng.standard_normal((1, n, 4)).astype(np.float32) * 0.3),
+        "conf": jnp.asarray(conf),
+        "coeff": jnp.asarray(rng.standard_normal(
+            (1, n, cfg.mask_dim)).astype(np.float32)),
+        "proto": jnp.asarray(rng.standard_normal(
+            (1, cfg.proto_size, cfg.proto_size, cfg.mask_dim)).astype(np.float32)),
+    }
+    base = jax.jit(lambda p: Y.detect(p, priors, cfg))(preds)
+    cfg2 = Y.YolactConfig(**{**cfg.__dict__, "prior_topk": 128})
+    fast = jax.jit(lambda p: Y.detect(p, priors, cfg2))(preds)
+    v1, v2 = np.asarray(base["valid"][0]), np.asarray(fast["valid"][0])
+    np.testing.assert_array_equal(v1, v2)
+    for k in ("boxes", "scores", "classes", "masks"):
+        np.testing.assert_allclose(np.asarray(base[k][0])[v1],
+                                   np.asarray(fast[k][0])[v2],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    # oversubscribed regime (every prior survives): stays well-formed and
+    # keeps the highest-max-score priors
+    cfgo = Y.YolactConfig(**{**cfg.__dict__, "prior_topk": 64,
+                             "conf_thresh": -1.0})
+    out = jax.jit(lambda p: Y.detect(p, priors, cfgo))(preds)
+    assert np.isfinite(np.asarray(out["scores"])).all()
