@@ -1,7 +1,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from tpuseg.ops.deform_conv import deform_conv2d
+from tpuseg.ops.deform_conv import dcn_block, deform_conv2d
 
 
 def np_deform_conv(x, offsets, mask, weight, bias, k, stride, pad, dil):
@@ -66,3 +66,81 @@ def test_deform_conv_zero_offsets_equals_conv(rng):
     want = np.asarray(L.conv2d(jnp.asarray(x), {"weight": jnp.asarray(weight),
                                                 "bias": None}, padding=1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dcn_offset_mask_channel_layout():
+    """Pins the conv_offset_mask channel contract (PARITY.md caveat 4).
+
+    DCNv2's CUDA `modulated_deformable_im2col` reads the offset tensor
+    INTERLEAVED: channel 2t = dy of tap t, channel 2t+1 = dx of tap t
+    (`data_offset_h_ptr = (2 * (i*kw + j)) * H*W + ...`), and the
+    modulation mask occupies the LAST k*k channels of the 3*k*k offset-conv
+    output. (Upstream yolact's `o1, o2, mask = chunk(3); cat((o1, o2))` is
+    a channel shuffle the trained offset-conv weights absorb — the binary
+    contract the kernel sees is the interleaved one pinned here, identical
+    to torchvision.ops.deform_conv2d's documented layout.)
+
+    Probe: identity weight on the center tap of a ramp image. dy=+1 on the
+    center tap must shift rows; dx=+1 must shift columns; a mask value on
+    the center tap must scale the output.
+    """
+    k, kk = 3, 9
+    h = w = 8
+    center = 4  # tap index (1,1) of a 3x3 kernel
+    ramp_y = np.tile(np.arange(h, dtype=np.float32)[:, None], (1, w))
+    ramp_x = np.tile(np.arange(w, dtype=np.float32)[None, :], (h, 1))
+    weight = np.zeros((k, k, 1, 1), np.float32)
+    weight[1, 1, 0, 0] = 1.0  # identity: output = center-tap sample
+
+    def run(img, dy, dx, mval):
+        offsets = np.zeros((1, h, w, 2 * kk), np.float32)
+        offsets[..., 2 * center] = dy      # even channel of tap t -> dy
+        offsets[..., 2 * center + 1] = dx  # odd channel -> dx
+        mask = np.ones((1, h, w, kk), np.float32)
+        mask[..., center] = mval
+        out = deform_conv2d(
+            jnp.asarray(img[None, :, :, None]), jnp.asarray(offsets),
+            jnp.asarray(mask), jnp.asarray(weight))
+        return np.asarray(out)[0, :, :, 0]
+
+    # dy=+1: rows shift (interior; border rows sample zero-padding)
+    got = run(ramp_y, 1.0, 0.0, 1.0)
+    np.testing.assert_allclose(got[:-1, :], ramp_y[1:, :], atol=1e-6)
+    # dx=+1: columns shift
+    got = run(ramp_x, 0.0, 1.0, 1.0)
+    np.testing.assert_allclose(got[:, :-1], ramp_x[:, 1:], atol=1e-6)
+    # mask on the center tap scales the output
+    got = run(ramp_y, 0.0, 0.0, 0.5)
+    np.testing.assert_allclose(got, 0.5 * ramp_y, atol=1e-6)
+
+
+def test_dcn_block_splits_offset_conv_channels():
+    """dcn_block: first 2*k*k offset-conv channels are the (interleaved)
+    offsets, last k*k are mask LOGITS (sigmoid applied inside)."""
+    from tpuseg.nn import layers as L
+
+    k, kk = 3, 9
+    h = w = 6
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, h, w, 2)).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((k, k, 2, 4)).astype(
+        np.float32) * 0.1)
+    # offset conv with ZERO weights and a chosen constant bias -> constant
+    # offset/mask planes; compare against calling deform_conv2d directly
+    bias = np.zeros(3 * kk, np.float32)
+    bias[2 * 2] = 0.7        # dy of tap 2
+    bias[2 * kk + 5] = 1.3   # mask logit of tap 5
+    p = {
+        "offset": {"weight": jnp.zeros((k, k, 2, 3 * kk), jnp.float32),
+                   "bias": jnp.asarray(bias)},
+        "weight": weight,
+        "bias": None,
+    }
+    got = np.asarray(dcn_block(x, p))
+    offsets = np.zeros((1, h, w, 2 * kk), np.float32)
+    offsets[..., 2 * 2] = 0.7
+    mask = np.full((1, h, w, kk), 0.5, np.float32)  # sigmoid(0)
+    mask[..., 5] = 1.0 / (1.0 + np.exp(-1.3))
+    want = np.asarray(deform_conv2d(
+        x, jnp.asarray(offsets), jnp.asarray(mask), weight))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
