@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--output_coco_json", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--prior_topk", type=int, default=0,
+                    help="two-stage candidate selection: compact the top-N "
+                         "priors by max class score before per-class NMS "
+                         "(0 = off/reference-exact; 4096 is detection-"
+                         "identical for trained weights and ~1.5x faster "
+                         "on TPU)")
     ap.add_argument("--devices", default=None,
                     help="'all' or N: shard the eval batch across devices")
     args = ap.parse_args()
@@ -58,6 +64,11 @@ def main():
     cfg_name = infer_config_name(args.trained_model, args.config)
     preset = get_config(cfg_name)
     mcfg = yolact_model_config(preset)
+    if args.prior_topk:
+        from tpuseg.models.yolact import YolactConfig
+
+        mcfg = YolactConfig(**{**mcfg.__dict__,
+                               "prior_topk": args.prior_topk})
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     bs = 1 if (args.image or args.images) else args.batch_size
     predictor = YolactPredictor(mcfg, weights=args.trained_model,
