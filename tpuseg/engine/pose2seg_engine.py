@@ -32,6 +32,21 @@ class Pose2SegPredictor:
 
         self._run = run
 
+        # split program for crowded images: backbone once per image, heads
+        # per max_people chunk (forward_from_features docstring)
+        @jax.jit
+        def run_backbone(params, images):
+            return P2S.backbone_forward(params, images, c)
+
+        @jax.jit
+        def run_heads(params, feats, theta, inv_theta, valid, skel):
+            return P2S.forward_from_features(
+                params, feats, theta, inv_theta, valid, c,
+                skel_feats=skel if c.cat_skeleton else None)
+
+        self._run_backbone = run_backbone
+        self._run_heads = run_heads
+
     def run_on_image(self, img_rgb: np.ndarray, keypoints: np.ndarray) -> dict:
         """img uint8 RGB [H,W,3]; keypoints [N,17,3] image px.
         -> {masks [N,H,W] uint8, valid [N]}."""
@@ -52,6 +67,10 @@ class Pose2SegPredictor:
         n = len(keypoints)  # crowded images run in chunks of max_people
         masks_chunks = []
         valid_all = np.zeros((n,), bool)
+        feats = None
+        if n > p:  # crowded: share one backbone pass across chunks
+            feats = self._run_backbone(
+                self.params, jnp.asarray(canvas, jnp.float32)[None])
         for c0 in range(0, n, p):
             chunk = keypoints[c0:c0 + p]
             theta = np.zeros((1, p, 2, 3), np.float32)
@@ -71,10 +90,16 @@ class Pose2SegPredictor:
                 valid[0, i] = True
                 if cfg.cat_skeleton:
                     skel[0, i] = P2S.skeleton_feats_for_person(kp, A, cfg)
-            out = self._run(self.params,
-                            jnp.asarray(canvas, jnp.float32)[None],
-                            jnp.asarray(theta), jnp.asarray(inv_theta),
-                            jnp.asarray(valid), jnp.asarray(skel))
+            if feats is not None:
+                out = self._run_heads(self.params, feats,
+                                      jnp.asarray(theta),
+                                      jnp.asarray(inv_theta),
+                                      jnp.asarray(valid), jnp.asarray(skel))
+            else:
+                out = self._run(self.params,
+                                jnp.asarray(canvas, jnp.float32)[None],
+                                jnp.asarray(theta), jnp.asarray(inv_theta),
+                                jnp.asarray(valid), jnp.asarray(skel))
             masks_chunks.append(np.asarray(out["masks"])[0, :len(chunk)])
             valid_all[c0:c0 + len(chunk)] = valid[0, :len(chunk)]
         masks_s = (np.concatenate(masks_chunks, axis=0) if masks_chunks
