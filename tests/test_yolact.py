@@ -380,3 +380,35 @@ def test_prior_topk_two_stage_exact(rng):
                              "conf_thresh": -1.0})
     out = jax.jit(lambda p: Y.detect(p, priors, cfgo))(preds)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_prior_topk_two_stage_traditional_nms(rng):
+    """Two-stage compaction must also be exact under use_fast_nms=False
+    (the reference's traditional per-class greedy NMS path)."""
+    cfg0 = small_cfg()
+    cfg = Y.YolactConfig(**{**cfg0.__dict__, "use_fast_nms": False})
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    n = priors.shape[0]
+    nc = cfg.num_classes
+    conf = rng.standard_normal((1, n, nc)).astype(np.float32) * 0.01
+    conf[..., 0] += 6.0
+    hot = rng.choice(n, 30, replace=False)
+    for i in hot:
+        conf[0, i, 1 + rng.integers(0, nc - 1)] += 9.0 + rng.uniform(0, 3)
+    preds = {
+        "loc": jnp.asarray(rng.standard_normal((1, n, 4)).astype(np.float32) * 0.3),
+        "conf": jnp.asarray(conf),
+        "coeff": jnp.asarray(rng.standard_normal(
+            (1, n, cfg.mask_dim)).astype(np.float32)),
+        "proto": jnp.asarray(rng.standard_normal(
+            (1, cfg.proto_size, cfg.proto_size, cfg.mask_dim)).astype(np.float32)),
+    }
+    base = jax.jit(lambda p: Y.detect(p, priors, cfg))(preds)
+    cfg2 = Y.YolactConfig(**{**cfg.__dict__, "prior_topk": 128})
+    fast = jax.jit(lambda p: Y.detect(p, priors, cfg2))(preds)
+    v1, v2 = np.asarray(base["valid"][0]), np.asarray(fast["valid"][0])
+    np.testing.assert_array_equal(v1, v2)
+    for k in ("boxes", "scores", "classes", "masks"):
+        np.testing.assert_allclose(np.asarray(base[k][0])[v1],
+                                   np.asarray(fast[k][0])[v2],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
