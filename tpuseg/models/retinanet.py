@@ -175,12 +175,22 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
 
         lg = lg.astype(jnp.float32)
         scores = jax.nn.sigmoid(lg)  # [B, N, nc]
-        cand = inside[..., None] & (scores > cfg.score_thresh)
-        k = min(cfg.pre_nms_top_n, lg.shape[1] * nc)
-        flat_s = scores.reshape(b, -1)
+        # two-stage EXACT top-k: first compact anchors by per-anchor max
+        # score. Any (anchor, class) pair in the true top-k has its
+        # anchor's max >= the pair's score, and at most k-1 pairs (hence
+        # anchors) rank above it — so the top-k anchors by max contain
+        # every top-k pair. Avoids a [B, N*nc] top-k (12M scores/image at
+        # P3) that dominated the level loop on TPU.
+        max_s = jnp.max(scores, axis=-1)  # [B, N]
+        k = min(cfg.pre_nms_top_n, lg.shape[1])
+        _, a_sel, a_valid = box_ops.masked_topk(
+            max_s, inside & (max_s > cfg.score_thresh), k,
+            approx=cfg.approx_topk)
+        sub = jnp.take_along_axis(scores, a_sel[..., None], axis=1)  # [B,K,nc]
+        sub_cand = a_valid[..., None] & (sub > cfg.score_thresh)
         top_s, sel, sel_valid = box_ops.masked_topk(
-            flat_s, cand.reshape(b, -1), k, approx=cfg.approx_topk)
-        a_idx = sel // nc
+            sub.reshape(b, -1), sub_cand.reshape(b, -1), k)
+        a_idx = jnp.take_along_axis(a_sel, sel // nc, axis=1)
         cls_idx = sel % nc
 
         def per_image(dl_i, aidx_i, hw_i):
