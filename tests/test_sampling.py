@@ -86,6 +86,32 @@ def test_roi_align_adaptive_ratio_matches_golden(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_roi_align_adaptive_grouped_matmul_matches_gather(rng):
+    """group_size routes adaptive mode through the separable Ay @ F @ Ax^T
+    formulation (the TPU path — the [P*S, P*S] gather lattice at C4
+    geometry crashes the TPU compiler); must equal the gather path bit-for
+    -float, including out-of-canvas rois, image-spanning rois, and roi
+    counts that don't divide the internal matmul chunk."""
+    feat = rng.standard_normal((3, 25, 33, 8)).astype(np.float32)
+    for r, p in ((17, 7), (70, 14)):
+        n = 3 * r
+        xy = rng.uniform(-30, 400, (n, 2))
+        wh = rng.uniform(0.1, 520, (n, 2))
+        rois = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        rois[0] = [0, 0, 33 * 16.0, 25 * 16.0]  # image-spanning
+        bi = np.repeat(np.arange(3), r).astype(np.int32)
+        for aligned in (False, True):
+            ref = np.asarray(S.roi_align(
+                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+                output_size=p, spatial_scale=1 / 16, sampling_ratio=0,
+                aligned=aligned))
+            got = np.asarray(S.roi_align(
+                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+                output_size=p, spatial_scale=1 / 16, sampling_ratio=0,
+                aligned=aligned, group_size=r))
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_roi_pool_basic():
     # 1 image, 1 channel, ramp feature; roi covering a known region
     h, w = 16, 16

@@ -121,7 +121,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     pooled = sampling.roi_align(
         c4, flat_boxes, flat_bidx, output_size=cfg.pooler_resolution,
         spatial_scale=1.0 / cfg.anchor_stride,
-        sampling_ratio=cfg.pooler_sampling_ratio)
+        sampling_ratio=cfg.pooler_sampling_ratio, group_size=p)
     feats = res5_head(params["roi_head"], pooled, cfg)
     x = jnp.mean(feats, axis=(1, 2))  # global avgpool
     cls_logits = L.linear(x, params["box_pred"]["cls_score"])
@@ -173,7 +173,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     mpool = sampling.roi_align(
         c4, flat_det, flat_bidx, output_size=cfg.pooler_resolution,
         spatial_scale=1.0 / cfg.anchor_stride,
-        sampling_ratio=cfg.pooler_sampling_ratio)
+        sampling_ratio=cfg.pooler_sampling_ratio, group_size=d)
     mfeats = res5_head(params["roi_head"], mpool, cfg)
     x = L.relu(L.conv_transpose2d(mfeats, params["mask_pred"]["conv5_mask"],
                                   stride=2))

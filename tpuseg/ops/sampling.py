@@ -87,6 +87,42 @@ def _bilinear_corners_zeropad(y, x, height, width):
     return ysi * width + xsi, w4
 
 
+def _corners_1d(t, extent):
+    """1-D half of :func:`_bilinear_corners` (same border semantics).
+
+    Returns (idx2 [..., 2] int32, w2 [..., 2]); the 2-D corner weights are
+    the outer product w2y x w2x and the 2-D linear indices are
+    idx2y * width + idx2x, so a bilinear sample factorises into separable
+    per-axis interpolation matrices.
+    """
+    oob = (t < -1.0) | (t > extent)
+    t = jnp.clip(t, 0.0, extent - 1)
+    t0 = jnp.floor(t)
+    t1 = jnp.minimum(t0 + 1, extent - 1)
+    lt = t - t0
+    w2 = jnp.stack([1.0 - lt, lt], axis=-1)
+    w2 = jnp.where(oob[..., None], 0.0, w2)
+    return jnp.stack([t0, t1], axis=-1).astype(jnp.int32), w2
+
+
+def _interp_matrix(coord, slot_valid, inv_g, extent, p, s):
+    """Per-roi separable interpolation matrix A [n, p, extent].
+
+    ``coord`` [n, p*s] holds the sample-point coordinates (feature units),
+    ``slot_valid`` [n, p*s] masks slots beyond the roi's adaptive grid, and
+    ``inv_g`` [n] is 1/g (the per-axis share of the bin average).
+    A[i, b, e] = sum over bin b's live slots of the linear hat weight each
+    sample places on feature row/col e, divided by g — so
+    pooled = Ay @ F @ Ax^T reproduces sample-then-average exactly.
+    """
+    n = coord.shape[0]
+    idx2, w2 = _corners_1d(coord, extent)  # [n, p*s, 2]
+    w2 = jnp.where(slot_valid[..., None], w2, 0.0) * inv_g[:, None, None]
+    oh = jax.nn.one_hot(idx2, extent, dtype=w2.dtype)  # [n, p*s, 2, E]
+    a = jnp.einsum("nsk,nske->nse", w2, oh)  # [n, p*s, E]
+    return a.reshape(n, p, s, extent).sum(axis=2)
+
+
 def _gather_weighted(feat_flat_c, idx4, w4, compute_dtype=jnp.float32):
     """feat_flat_c: [H*W, C]; idx4/w4: [..., 4] -> [..., C]."""
     g = jnp.take(feat_flat_c, idx4, axis=0)  # [..., 4, C]
@@ -97,7 +133,8 @@ def _gather_weighted(feat_flat_c, idx4, w4, compute_dtype=jnp.float32):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "aligned", "chunk"),
+    static_argnames=("output_size", "sampling_ratio", "aligned", "chunk",
+                     "group_size"),
 )
 def roi_align(
     features: jax.Array,
@@ -108,6 +145,7 @@ def roi_align(
     sampling_ratio: int = 2,
     aligned: bool = False,
     chunk: int = 256,
+    group_size: int | None = None,
 ) -> jax.Array:
     """RoIAlign. features [B,H,W,C], rois [N,4] xyxy image coords -> [N,P,P,C].
 
@@ -119,6 +157,15 @@ def roi_align(
     exact because no roi clipped to the canvas can need a denser grid than
     the bound. ``aligned=False`` reproduces maskrcnn-benchmark (no half-pixel
     offset, extents clamped to >= 1).
+
+    ``group_size=R`` declares that ``batch_idx == repeat(arange(B), R)``
+    (rois grouped contiguously per image, N == B*R) and routes the adaptive
+    mode through a separable-matmul formulation: per-roi interpolation
+    matrices Ay [P,H] / Ax [P,W] (bilinear hats x slot mask, bin-average
+    folded in) so pooled = Ay @ F @ Ax^T — two MXU matmuls per roi instead
+    of a [P*S, P*S] sample lattice whose gather (30 GB of intermediates at
+    C4 geometry) the TPU compiler cannot schedule. Identical semantics;
+    required for large-extent adaptive pooling on TPU.
     """
     b, h, w, c = features.shape
     n = rois.shape[0]
@@ -162,6 +209,10 @@ def roi_align(
                           (n, p, s)).reshape(n, p * s)
     inv_count = 1.0 / (gh * gw)  # [N]
 
+    if sampling_ratio <= 0 and group_size is not None:
+        return _roi_align_matmul(features, ys, xs, vy, vx, 1.0 / gh, 1.0 / gw,
+                                 group_size, p, s)
+
     def one_chunk(args):
         ys_c, xs_c, vy_c, vx_c, ic_c, bi_c = args  # [n_c, P*S] ..., [n_c]
         yy = ys_c[:, :, None]  # [n_c, PS, 1]
@@ -196,6 +247,61 @@ def roi_align(
         ),
     )
     return out.reshape(nchunks * chunk, p, p, c)[:n]
+
+
+def _roi_align_matmul(features, ys, xs, vy, vx, inv_gh, inv_gw, group_size,
+                      p, s):
+    """Adaptive RoIAlign as pooled = Ay @ F @ Ax^T (see roi_align docstring).
+
+    Rois must be grouped contiguously per image (``group_size`` per image).
+    Chunks are aligned to image boundaries so each matmul reads exactly one
+    image's feature map, fetched by chunk index — the map stays the
+    stationary MXU operand instead of being re-gathered per roi.
+    """
+    b, h, w, c = features.shape
+    n, ps = ys.shape
+    r = group_size
+    assert n == b * r, (n, b, r)
+    dt = features.dtype
+
+    # interpolation matrices in n-chunks (the one-hot transient is [nc,
+    # p*s, 2, E]); totals are small ([N, P, E] f32)
+    nc = min(512, n)
+    padn = (-n) % nc
+    def mk(args):
+        co_y, vy_c, igh, co_x, vx_c, igw = args
+        return (_interp_matrix(co_y, vy_c, igh, h, p, s),
+                _interp_matrix(co_x, vx_c, igw, w, p, s))
+    ay, ax = jax.lax.map(mk, tuple(
+        jnp.pad(a, ((0, padn),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (n + padn) // nc, nc, *a.shape[1:])
+        for a in (ys, vy, inv_gh, xs, vx, inv_gw)))
+    ay = ay.reshape(-1, p, h)[:n]
+    ax = ax.reshape(-1, p, w)[:n]
+
+    # image-aligned roi chunks: [B, R] -> [B * ceil(R/rc), rc]
+    rc = min(64, r)
+    padr = (-r) % rc
+    ay_g = jnp.pad(ay.reshape(b, r, p, h), ((0, 0), (0, padr), (0, 0), (0, 0)))
+    ax_g = jnp.pad(ax.reshape(b, r, p, w), ((0, 0), (0, padr), (0, 0), (0, 0)))
+    ncr = (r + padr) // rc
+    ay_ch = ay_g.reshape(b * ncr, rc, p, h)
+    ax_ch = ax_g.reshape(b * ncr, rc, p, w)
+    img_of_chunk = jnp.repeat(jnp.arange(b, dtype=jnp.int32), ncr)
+
+    def one(args):
+        ayc, axc, bi = args
+        f2 = jax.lax.dynamic_index_in_dim(
+            features, bi, axis=0, keepdims=False).reshape(h, w * c)
+        rows = jnp.einsum("rph,hk->rpk", ayc.astype(dt), f2,
+                          preferred_element_type=jnp.float32)
+        rows = rows.reshape(rc, p, w, c)
+        out = jnp.einsum("rpwc,rqw->rpqc", rows.astype(dt), axc.astype(dt),
+                         preferred_element_type=jnp.float32)
+        return out.astype(dt)
+
+    out = jax.lax.map(one, (ay_ch, ax_ch, img_of_chunk))
+    return out.reshape(b, ncr * rc, p, p, c)[:, :r].reshape(n, p, p, c)
 
 
 @functools.partial(jax.jit,
