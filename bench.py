@@ -373,10 +373,10 @@ def bench_yolact_train(jax, jnp, np):
             np.float32))
     key = jax.random.PRNGKey(1)
 
-    def step(p, b):
+    def step(p, b, images, targets):
         return trainer.train_step(p, b, images, targets, key, 100)
 
-    t = _timeit(jax.jit(lambda p, b: step(p, b)), (params, buf), iters=10)
+    t = _timeit(jax.jit(step), (params, buf, images, targets), iters=10)
     _emit("YOLACT-550 R50-FPN training step throughput (img/s/chip, bs=8)",
           batch / t, "img/s/chip")
 
@@ -409,7 +409,10 @@ def bench_maskrcnn_train(jax, jnp, np):
     }
     key = jax.random.PRNGKey(1)
 
-    def step(p, b):
+    # batch data must be jit ARGUMENTS: closed-over arrays are embedded as
+    # inline MLIR constants (206 MB of images here), which crashes the
+    # remote TPU compile helper outright
+    def step(p, b, images, hw, targets):
         def loss_fn(pp):
             losses = M.forward_train_losses(pp, images, hw, targets, key,
                                             cfg, lcfg)
@@ -419,7 +422,7 @@ def bench_maskrcnn_train(jax, jnp, np):
         p2, b2 = sgd_update(p, grads, b, 1e-2, 0.9, 1e-4)
         return p2, b2, losses
 
-    t = _timeit(jax.jit(step), (params, buf), iters=5)
+    t = _timeit(jax.jit(step), (params, buf, images, hw, targets), iters=5)
     _emit("Mask R-CNN R50-FPN training step throughput (img/s/chip, bs=8)",
           batch / t, "img/s/chip")
 

@@ -37,6 +37,7 @@ from tpuseg.ops import sampling
 @dataclass(frozen=True)
 class MaskRCNNConfig:
     depth: int = 50
+    freeze_at: int = 2  # FREEZE_CONV_BODY_AT (stem + layer1)
     # anchors (maskrcnn-benchmark FPN defaults)
     anchor_sizes: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
@@ -167,13 +168,26 @@ def box_head(params: dict, pooled: jax.Array, cfg: MaskRCNNConfig):
     return L.linear(x, params["cls_score"]), L.linear(x, params["bbox_pred"])
 
 
-def mask_head(params: dict, pooled: jax.Array):
-    """[N, 14, 14, C] -> [N, 28, 28, num_classes] logits."""
+def mask_head(params: dict, pooled: jax.Array, class_sel=None):
+    """[N, 14, 14, C] -> [N, 28, 28, num_classes] logits.
+
+    ``class_sel`` [N] int: compute ONLY that class's channel per roi
+    ([N, 28, 28]) by gathering the 1x1 predictor kernel column — identical
+    to slicing the full output, but the training backward never
+    materialises the [N, 28, 28, num_classes] tensor (1.4 GB of the bs=8
+    Mask R-CNN train step's HBM overflow) and the predictor matmul shrinks
+    num_classes-fold.
+    """
     x = pooled
     for i in range(1, 5):
         x = L.relu(L.conv2d(x, params[f"mask_fcn{i}"], padding=1))
     x = L.relu(L.conv_transpose2d(x, params["conv5_mask"], stride=2))
-    return L.conv2d(x, params["mask_fcn_logits"])
+    if class_sel is None:
+        return L.conv2d(x, params["mask_fcn_logits"])
+    w = params["mask_fcn_logits"]["weight"][0, 0]  # [C, num_classes]
+    wsel = jnp.take(w, class_sel, axis=1).T.astype(x.dtype)  # [N, C]
+    bsel = params["mask_fcn_logits"]["bias"][class_sel].astype(x.dtype)
+    return jnp.einsum("nhwc,nc->nhw", x, wsel) + bsel[:, None, None]
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +309,7 @@ def pooled_roi_features(feats: list, boxes: jax.Array, batch_idx: jax.Array,
 
 def backbone_fpn(params: dict, images: jax.Array, cfg: MaskRCNNConfig):
     rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
-                                  frozen_bn=True)
+                                  frozen_bn=True, freeze_at=cfg.freeze_at)
     feats = resnet_nn.forward(params["backbone"], images, rcfg)
     pyr = fpn_nn.fpn_forward(params["fpn"], feats, with_p6=True)
     return [pyr["p2"], pyr["p3"], pyr["p4"], pyr["p5"], pyr["p6"]]
@@ -468,7 +482,10 @@ def forward_train_losses(
         mask_pooled = pooled_roi_features(
             pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
             cfg.pooler_sampling_ratio)
-        mask_logits = mask_head(params["mask_head"], mask_pooled)
+        # gt-class channel only: the loss never reads the other
+        # num_classes-1 channels (mask_head docstring)
+        mask_x = mask_head(params["mask_head"], mask_pooled,
+                           class_sel=flat_sample["cls_target"])
 
         def per_image_targets(rois, gt_idx, gb, crops):
             return ML.mask_targets_from_crops(
@@ -477,10 +494,9 @@ def forward_train_losses(
         t28 = jax.vmap(per_image_targets)(
             sample["boxes"], sample["gt_idx"], gt_boxes,
             targets["mask_crops"])
-        losses.update(ML.mask_head_loss(
-            mask_logits.astype(jnp.float32).reshape(
-                b * s, cfg.mask_out, cfg.mask_out, cfg.num_classes),
-            flat_sample, gt_classes,
+        losses.update(ML.mask_head_loss_selected(
+            mask_x.astype(jnp.float32),
+            flat_sample,
             t28.reshape(b * s, cfg.mask_out, cfg.mask_out),
             loss_cfg))
     losses["total"] = sum(losses.values())

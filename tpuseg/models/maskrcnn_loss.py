@@ -257,6 +257,11 @@ def mask_head_loss(mask_logits, sample, gt_classes, targets28,
     labels = sample["cls_target"]  # 1-based fg labels
     x = jnp.take_along_axis(
         mask_logits, labels[:, None, None, None], axis=-1)[..., 0]
+    return mask_head_loss_selected(x, sample, targets28, cfg)
+
+
+def mask_head_loss_selected(x, sample, targets28, cfg: MaskRCNNLossConfig):
+    """BCE over positives, gt-class channel already selected ([S, 28, 28])."""
     t = targets28
     bce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
     per = bce.mean(axis=(1, 2))

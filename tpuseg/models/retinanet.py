@@ -30,6 +30,7 @@ from tpuseg.ops import nms as nms_ops
 @dataclass(frozen=True)
 class RetinaNetConfig:
     depth: int = 50
+    freeze_at: int = 2  # FREEZE_CONV_BODY_AT (stem + layer1)
     # anchors (MODEL.RETINANET defaults): 3 octave scales x 3 ratios = 9/cell
     anchor_sizes: tuple = (32, 64, 128, 256, 512)
     anchor_ratios: tuple = (0.5, 1.0, 2.0)
@@ -101,7 +102,7 @@ def make_anchors_np(cfg: RetinaNetConfig, canvas_h: int, canvas_w: int):
 
 def backbone_p3p7(params: dict, images: jax.Array, cfg: RetinaNetConfig):
     rcfg = resnet_nn.ResNetConfig(depth=cfg.depth, stride_in_1x1=True,
-                                  frozen_bn=True)
+                                  frozen_bn=True, freeze_at=cfg.freeze_at)
     feats = resnet_nn.forward(params["backbone"], images, rcfg)
     # laterals over C3-C5 only (upstream passes in_channels_list[0] = 0)
     inner = [

@@ -38,6 +38,12 @@ class ResNetConfig:
     # every `dcn_interval`-th block (dbolya resnet101_dcn_inter3_backbone)
     dcn_stages: tuple = ()
     dcn_interval: int = 1
+    # detectron FREEZE_CONV_BODY_AT: 2 freezes stem + layer1. Implemented
+    # as stop_gradient at the frozen/trainable boundary — the optimizer's
+    # lr_scale=0 already pins the values, but cutting the gradient here
+    # also stops the backward pass from materialising the huge
+    # high-resolution conv residuals (1 GB stem temps at bs=8 800x1344)
+    freeze_at: int = 0
 
     @property
     def stage_blocks(self):
@@ -85,6 +91,8 @@ def forward(params: dict, x: jax.Array, cfg: ResNetConfig) -> dict:
     x = L.conv2d(x, params["stem"]["conv"], stride=2, padding=3)
     x = L.relu(_norm(x, params["stem"]["bn"], cfg))
     x = L.max_pool2d(x, 3, 2, padding=1)
+    if cfg.freeze_at >= 1:
+        x = jax.lax.stop_gradient(x)
     feats = {}
     for si, name in enumerate(["layer1", "layer2", "layer3", "layer4"]):
         stride = 1 if si == 0 else 2
@@ -92,7 +100,16 @@ def forward(params: dict, x: jax.Array, cfg: ResNetConfig) -> dict:
         if dilation > 1:
             stride = 1
         for bi, bp in enumerate(params[name]):
-            x = bottleneck(x, bp, stride if bi == 0 else 1, dilation, cfg)
+            # per-block rematerialization: identity for inference (the
+            # primal is unchanged under jit), but backward passes store
+            # only block-boundary activations instead of every conv/BN
+            # intermediate — the bs=8 800x1344 Mask R-CNN train step needs
+            # 18.2 GB of HLO temps without this (> 15.75 GB v5e HBM)
+            x = jax.checkpoint(
+                bottleneck, static_argnums=(2, 3, 4))(
+                    x, bp, stride if bi == 0 else 1, dilation, cfg)
+        if cfg.freeze_at >= si + 2:
+            x = jax.lax.stop_gradient(x)
         feats[f"c{si + 2}"] = x
     return feats
 
