@@ -101,15 +101,16 @@ def test_roi_align_adaptive_grouped_matmul_matches_gather(rng):
         rois[0] = [0, 0, 33 * 16.0, 25 * 16.0]  # image-spanning
         bi = np.repeat(np.arange(3), r).astype(np.int32)
         for aligned in (False, True):
-            ref = np.asarray(S.roi_align(
-                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
-                output_size=p, spatial_scale=1 / 16, sampling_ratio=0,
-                aligned=aligned))
-            got = np.asarray(S.roi_align(
-                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
-                output_size=p, spatial_scale=1 / 16, sampling_ratio=0,
-                aligned=aligned, group_size=r))
-            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+            for ratio in (0, 2):
+                ref = np.asarray(S.roi_align(
+                    jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+                    output_size=p, spatial_scale=1 / 16,
+                    sampling_ratio=ratio, aligned=aligned))
+                got = np.asarray(S.roi_align(
+                    jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(bi),
+                    output_size=p, spatial_scale=1 / 16,
+                    sampling_ratio=ratio, aligned=aligned, group_size=r))
+                np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
 def test_roi_pool_basic():

@@ -241,11 +241,19 @@ def mask_targets_from_crops(
     x2 = (rois[:, 2] - gb[:, 0]) * scale_x
     y2 = (rois[:, 3] - gb[:, 1]) * scale_y
     local = jnp.stack([x1, y1, x2, y2], -1)
-    crops = gt_mask_crops[..., None]  # [G, R, R, 1]
+    # gt masks on the CHANNEL axis of one feature map: pooling G channels
+    # with the separable-matmul path and selecting gt_idx afterwards is
+    # value-identical to per-roi 1-channel pooling, but 1-wide-lane gathers
+    # are pathological on TPU (this call was 1.8 s of the 2.0 s bs=8 Mask
+    # R-CNN train step; now MXU matmuls)
+    s = rois.shape[0]
+    crops = jnp.transpose(gt_mask_crops, (1, 2, 0))[None]  # [1, R, R, G]
     out = roi_align(
-        crops, local, gt_idx.astype(jnp.int32), output_size=mask_size,
-        spatial_scale=1.0, sampling_ratio=2, aligned=True)
-    return (out[..., 0] > 0.5).astype(jnp.float32)
+        crops, local, jnp.zeros((s,), jnp.int32), output_size=mask_size,
+        spatial_scale=1.0, sampling_ratio=2, aligned=True, group_size=s)
+    out = jnp.take_along_axis(
+        out, gt_idx[:, None, None, None].astype(jnp.int32), axis=-1)[..., 0]
+    return (out > 0.5).astype(jnp.float32)
 
 
 def mask_head_loss(mask_logits, sample, gt_classes, targets28,

@@ -209,7 +209,7 @@ def roi_align(
                           (n, p, s)).reshape(n, p * s)
     inv_count = 1.0 / (gh * gw)  # [N]
 
-    if sampling_ratio <= 0 and group_size is not None:
+    if group_size is not None:  # separable-matmul path, any sampling ratio
         return _roi_align_matmul(features, ys, xs, vy, vx, 1.0 / gh, 1.0 / gw,
                                  group_size, p, s)
 
