@@ -392,12 +392,14 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     mask_pooled = pooled_roi_features(
         pyramid[:4], flat_det, flat_bidx, cfg.mask_resolution,
         cfg.pooler_sampling_ratio)
-    mask_logits = mask_head(params["mask_head"], mask_pooled)
-    mask_logits = mask_logits.reshape(b, d, cfg.mask_out, cfg.mask_out,
-                                      cfg.num_classes)
+    # the detected class is known before the predictor runs, so only that
+    # class's channel is computed (identical to slicing the full
+    # [B*D, 28, 28, num_classes] output, which would cost num_classes-fold
+    # HBM traffic on the hot path)
     cls_idx = det_classes + 1  # logits include background channel
-    masks = jnp.take_along_axis(
-        mask_logits, cls_idx[:, :, None, None, None], axis=-1)[..., 0]
+    masks = mask_head(params["mask_head"], mask_pooled,
+                      class_sel=cls_idx.reshape(b * d))
+    masks = masks.reshape(b, d, cfg.mask_out, cfg.mask_out)
     out["masks"] = jax.nn.sigmoid(masks)  # [B, 100, 28, 28] probabilities
     return out
 

@@ -177,11 +177,16 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     mfeats = res5_head(params["roi_head"], mpool, cfg)
     x = L.relu(L.conv_transpose2d(mfeats, params["mask_pred"]["conv5_mask"],
                                   stride=2))
-    mask_logits = L.conv2d(x, params["mask_pred"]["mask_fcn_logits"])
-    mask_logits = mask_logits.reshape(b, d, cfg.mask_out, cfg.mask_out,
-                                      cfg.num_classes)
-    masks = jnp.take_along_axis(
-        mask_logits, (det_classes + 1)[:, :, None, None, None], axis=-1)[..., 0]
+    # compute only the detected class's predictor column (identical to
+    # slicing the full [B*D, 28, 28, num_classes] logits — see
+    # maskrcnn.mask_head class_sel)
+    cls_sel = (det_classes + 1).reshape(b * d)
+    w = params["mask_pred"]["mask_fcn_logits"]["weight"][0, 0]  # [C, nc]
+    wsel = jnp.take(w, cls_sel, axis=1).T.astype(x.dtype)  # [B*D, C]
+    bsel = params["mask_pred"]["mask_fcn_logits"]["bias"][cls_sel].astype(
+        x.dtype)
+    masks = jnp.einsum("nhwc,nc->nhw", x, wsel) + bsel[:, None, None]
+    masks = masks.reshape(b, d, cfg.mask_out, cfg.mask_out)
     out["masks"] = jax.nn.sigmoid(masks.astype(jnp.float32))
     return out
 
