@@ -99,3 +99,31 @@ def test_extreme_aspect_boxes_clamp_to_fitting_level(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
     # sanity: output is not zero-diluted
     assert np.all(np.abs(got).mean(axis=(1, 2, 3)) > 1e-3)
+
+
+def test_bf16_path_error_bound(rng):
+    """The bf16 fast path (maskless window + single-pass bf16 interpolation
+    matmuls) must stay at the bf16 feature-quantization error order against
+    the exact f32 oracle, and must not leak stale-window garbage."""
+    from tpuseg.ops.pallas.roi_align_pl import clamp_levels_to_window
+
+    feats, strides, boxes, bi, levels = _setup(rng)
+    feats_bf = tuple(f.astype(jnp.bfloat16) for f in feats)
+    # bf16 halves the itemsize -> doubles the column alignment, so the
+    # kernel's internal window clamp can bump more boxes than for f32;
+    # give the oracle the identically clamped levels
+    lv = clamp_levels_to_window(feats_bf, boxes, levels, strides,
+                                rows=32, span=32)
+    want = np.asarray(S.multilevel_roi_align(
+        feats, boxes, bi, lv, output_size=7, sampling_ratio=2,
+        strides=strides))
+    got = np.asarray(multilevel_roi_align_pallas(
+        feats_bf, boxes, bi, levels, output_size=7, sampling_ratio=2,
+        strides=strides, rows=32, span=32, interpret=True)
+    ).astype(np.float32)
+    # unit-scale N(0,1) features: bf16 eps is 2^-8; interpolation sums of
+    # ~4 bf16 products keep the error at a few eps
+    err = np.abs(got - want)
+    assert np.isfinite(got).all()
+    assert err.max() < 0.06, err.max()
+    assert err.mean() < 0.005, err.mean()

@@ -16,6 +16,12 @@ on the hot Mask R-CNN path. Design:
     two small MXU matmuls + SxS bin averaging — zero scalar gathers.
   * Out-of-range samples (ROIAlign_cuda border semantics) zero out via the
     Ay/Ax rows, preserving the CUDA kernel's product semantics.
+  * f32 features: masked window + HIGHEST-precision matmuls (exact f32
+    interpolation, matches the jnp oracle to ~3e-7). bf16 features (the
+    model's TPU inference dtype): single-pass bf16 matmuls + maskless
+    window (stale data is annihilated by the exact-zero one-hot rows) —
+    ~1.8x the f32-path throughput; error stays at the bf16 feature
+    quantization order (bounded by test_bf16_path_error_bound).
 
 Validated against the jnp pooler in interpret mode and on TPU
 (tests/test_roi_align_pl.py).
@@ -101,8 +107,16 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
                             sems.at[slot, g],
                         ).wait()
 
+        # bf16 features skip the per-roi window mask (below): the one-hot
+        # interpolation rows are exact zeros outside the roi's window, so
+        # stale finite data from earlier steps contributes exactly 0 — only
+        # never-written VMEM could hold non-finite garbage, killed once here.
+        small = jnp.dtype(tile_ref.dtype).itemsize <= 2
+
         @pl.when(i == 0)
         def _():
+            if small:
+                tile_ref[...] = jnp.zeros_like(tile_ref)
             issue(0, 0)
             for j in range(1, nbuf - 1):
                 @pl.when(j < n)
@@ -167,28 +181,51 @@ def _make_kernel(p, s, rows, span, level_shapes, c, align, level_rows,
             ay = ay.reshape(p, s, rows).sum(axis=1) * (1.0 / s)  # [P, ROWS]
             ax = ax.reshape(p, s, span).sum(axis=1) * (1.0 / s)  # [P, SPAN]
 
-            # mask the tile to this box's DMA window: regions beyond it hold
-            # stale/uninitialized data, and 0-weight x NaN would poison the
-            # interpolation matmuls
-            rl_d = hw_ref[g, 0, 2]
-            sl_d = hw_ref[g, 0, 3]
-            rmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 0) < rl_d
-            cmask = jax.lax.broadcasted_iota(jnp.int32, (rows, span), 1) < sl_d
-            maskf = (rmask & cmask).astype(jnp.float32)
-            tile = tile_ref[i % nbuf, g].astype(jnp.float32)  # [ROWS, SPAN, C]
-            tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
-            tmp = jax.lax.dot_general(
-                ay, tile.reshape(rows, span * c),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # exact f32 interp
-            ).reshape(p, span, c)
-            full = jax.lax.dot_general(
-                ax, tmp,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [Px, Py, C]
+            if small:
+                # bf16 fast path: the features already carry bf16
+                # quantization, so the interpolation matmuls run single-pass
+                # bf16 (ay/ax rounding is the same order as the feature
+                # quantization; bounded by tests/test_roi_align_pl.py::
+                # test_bf16_path_error_bound). Stale window regions are
+                # guarded by the exact-zero one-hot rows + step-0 zero-init
+                # instead of a per-roi mask.
+                tile = tile_ref[i % nbuf, g]  # [ROWS, SPAN, C] bf16
+                tmp = jax.lax.dot_general(
+                    ay.astype(tile.dtype), tile.reshape(rows, span * c),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(p, span, c)
+                full = jax.lax.dot_general(
+                    ax, tmp,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [Px, Py, C]
+            else:
+                # f32 path (exact f32 interp, used by the CPU/interpret
+                # oracle tests): mask the tile to this box's DMA window —
+                # regions beyond it hold stale/uninitialized data, and
+                # 0-weight x NaN would poison the interpolation matmuls
+                rl_d = hw_ref[g, 0, 2]
+                sl_d = hw_ref[g, 0, 3]
+                rmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, span), 0) < rl_d
+                cmask = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, span), 1) < sl_d
+                maskf = (rmask & cmask).astype(jnp.float32)
+                tile = tile_ref[i % nbuf, g].astype(jnp.float32)
+                tile = jnp.where(maskf[:, :, None] > 0, tile, 0.0)
+                tmp = jax.lax.dot_general(
+                    ay, tile.reshape(rows, span * c),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(p, span, c)
+                full = jax.lax.dot_general(
+                    ax, tmp,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [Px, Py, C]
             pooled = jnp.transpose(full, (1, 0, 2))
             out_ref[g] = pooled.astype(out_ref.dtype)
 
