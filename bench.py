@@ -351,7 +351,7 @@ def bench_yolact_train(jax, jnp, np):
 
     batch, g = 8, 16
     cfg = Y.YolactConfig(backbone="resnet50")
-    trainer = YolactTrainer(cfg)
+    trainer = YolactTrainer(cfg, compute_dtype=jnp.bfloat16)
     params = Y.init_params(jax.random.PRNGKey(0), cfg)
     buf = trainer.init_state(params)
     rng = np.random.default_rng(0)
@@ -380,8 +380,8 @@ def bench_yolact_train(jax, jnp, np):
         return trainer.train_step(p, b, images, targets, key, 100)
 
     t = _timeit(jax.jit(step), (params, buf, images, targets), iters=10)
-    _emit("YOLACT-550 R50-FPN training step throughput (img/s/chip, bs=8)",
-          batch / t, "img/s/chip")
+    _emit("YOLACT-550 R50-FPN training step throughput "
+          "(img/s/chip, bs=8, mixed bf16)", batch / t, "img/s/chip")
 
 
 def bench_maskrcnn_train(jax, jnp, np):
@@ -415,10 +415,14 @@ def bench_maskrcnn_train(jax, jnp, np):
     # batch data must be jit ARGUMENTS: closed-over arrays are embedded as
     # inline MLIR constants (206 MB of images here), which crashes the
     # remote TPU compile helper outright
+    from tpuseg.engine.trainer import cast_floats
+
     def step(p, b, images, hw, targets):
         def loss_fn(pp):
-            losses = M.forward_train_losses(pp, images, hw, targets, key,
-                                            cfg, lcfg)
+            # TPU mixed precision: f32 master params, bf16 forward/backward
+            losses = M.forward_train_losses(
+                cast_floats(pp, jnp.bfloat16), images.astype(jnp.bfloat16),
+                hw, targets, key, cfg, lcfg)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -426,8 +430,8 @@ def bench_maskrcnn_train(jax, jnp, np):
         return p2, b2, losses
 
     t = _timeit(jax.jit(step), (params, buf, images, hw, targets), iters=5)
-    _emit("Mask R-CNN R50-FPN training step throughput (img/s/chip, bs=8)",
-          batch / t, "img/s/chip")
+    _emit("Mask R-CNN R50-FPN training step throughput "
+          "(img/s/chip, bs=8, mixed bf16)", batch / t, "img/s/chip")
 
 
 def main():

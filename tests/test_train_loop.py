@@ -74,3 +74,49 @@ def test_timer_and_logging(tmp_path, capsys):
     with open(log.path) as f:
         entry = json.loads(f.readline())
     assert entry["type"] == "train" and entry["data"]["loss"] == 1.5
+
+
+def test_mixed_precision_train_step_matches_f32(rng):
+    """compute_dtype=bf16 (f32 master params, bf16 forward/backward) must
+    produce per-loss values near the f32 step and finite f32 updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.engine.trainer import YolactTrainer
+
+    cfg = Y.YolactConfig(img_size=64, num_classes=3, nms_top_k=8,
+                         max_num_detections=5)
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    g = 4
+    xy = rng.uniform(0.05, 0.5, (2, g, 2)).astype(np.float32)
+    wh = rng.uniform(0.1, 0.4, (2, g, 2)).astype(np.float32)
+    classes = rng.integers(0, 2, (2, g)).astype(np.int32)
+    classes[:, g // 2:] = -1
+    sizes = Y.level_sizes(cfg)
+    proto = sizes[0] * 2
+    sem = sizes[0]
+    targets = {
+        "boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+        "classes": jnp.asarray(classes),
+        "crowd": jnp.asarray(np.zeros((2, g), bool)),
+        "masks_proto": jnp.asarray(
+            (rng.uniform(size=(2, g, proto, proto)) > 0.5).astype(np.float32)),
+        "masks_sem": jnp.asarray(
+            (rng.uniform(size=(2, g, sem, sem)) > 0.5).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+    out = {}
+    for name, cdt in [("f32", None), ("bf16", jnp.bfloat16)]:
+        tr = YolactTrainer(cfg, lr_fn=lambda i: 1e-3, compute_dtype=cdt)
+        buf = tr.init_state(params)
+        p2, b2, losses = tr.train_step(params, buf, images, targets, key, 0)
+        # master params and their updates stay f32
+        assert all(jnp.asarray(x).dtype != jnp.bfloat16
+                   for x in jax.tree.leaves(p2))
+        assert all(np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree.leaves(p2))
+        out[name] = {k: float(v) for k, v in losses.items()}
+    for k in out["f32"]:
+        a, b = out["f32"][k], out["bf16"][k]
+        assert abs(a - b) <= 0.08 * max(abs(a), 1e-3), (k, a, b)

@@ -12,8 +12,13 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config-file", default=None)
     ap.add_argument("--max_steps", type=int, default=None)
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="bfloat16 = TPU mixed precision (f32 master weights)")
     ap.add_argument("opts", nargs=argparse.REMAINDER)
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from tpuseg.data.coco_dataset import CocoDetectionDataset
     from tpuseg.engine.config import ConfigNode
@@ -80,7 +85,9 @@ def main():
              max_iter=cfg.SOLVER.MAX_ITER,
              ims_per_batch=cfg.SOLVER.IMS_PER_BATCH,
              checkpoint_period=cfg.SOLVER.CHECKPOINT_PERIOD,
-             output_dir=cfg.OUTPUT_DIR, max_steps=args.max_steps)
+             output_dir=cfg.OUTPUT_DIR, max_steps=args.max_steps,
+             compute_dtype=(jnp.bfloat16
+                            if args.compute_dtype == "bfloat16" else None))
 
 
 if __name__ == "__main__":

@@ -22,7 +22,12 @@ def main():
                     help="stop after N steps (smoke runs)")
     ap.add_argument("--train_images", default=None)
     ap.add_argument("--train_info", default=None)
+    ap.add_argument("--compute_dtype", default=None,
+                    choices=[None, "bfloat16"],
+                    help="bfloat16 = TPU mixed precision (f32 master weights)")
     args = ap.parse_args()
+
+    import jax.numpy as jnp
 
     from tpuseg.configs.presets import yolact_model_config
     from tpuseg.data.coco_dataset import CocoDetectionDataset
@@ -40,7 +45,9 @@ def main():
     train(dataset, mcfg, batch_size=args.batch_size, max_iter=args.max_iter,
           save_every=args.save_interval, save_folder=args.save_folder,
           cfg_name=preset.name, resume=args.resume,
-          start_iter=args.start_iter, max_steps=args.max_steps)
+          start_iter=args.start_iter, max_steps=args.max_steps,
+          compute_dtype=(jnp.bfloat16
+                         if args.compute_dtype == "bfloat16" else None))
 
 
 if __name__ == "__main__":

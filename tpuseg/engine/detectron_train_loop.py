@@ -72,11 +72,15 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
              ims_per_batch=2, checkpoint_period=2500,
              output_dir="weights/detectron", log_every=20, max_steps=None,
              label_map=None, seed=3, forward_losses=None,
-             init_params_fn=None):
+             init_params_fn=None, compute_dtype=None):
     """``forward_losses(params, images, hw, targets, key) -> loss dict``
     defaults to the Mask R-CNN FPN family; pass the RetinaNet equivalents
     (with ``init_params_fn``) to train the one-stage model with the same
-    solver/schedule/logging."""
+    solver/schedule/logging.
+
+    ``compute_dtype=jnp.bfloat16`` = TPU mixed precision: f32 master
+    params in the optimizer, bf16 forward/backward (loss modules upcast
+    logits to f32 at their entry points). None = reference-parity f32."""
     cfg = cfg or M.MaskRCNNConfig()
     if forward_losses is None:
         lcfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes)
@@ -98,7 +102,14 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
 
     def step_fn(params, buf, images, hw, targets, key, it):
         def loss_fn(p):
-            losses = forward_losses(p, images, hw, targets, key)
+            if compute_dtype is not None:
+                from tpuseg.engine.trainer import cast_floats
+
+                p = cast_floats(p, compute_dtype)
+                images_c = images.astype(compute_dtype)
+            else:
+                images_c = images
+            losses = forward_losses(p, images_c, hw, targets, key)
             return losses["total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -71,6 +71,16 @@ def sgd_init(params):
     return jax.tree.map(jnp.zeros_like, params)
 
 
+def cast_floats(tree, dtype):
+    """Cast every floating leaf to ``dtype`` (mixed-precision forward: f32
+    master params stay in the optimizer, the model computes in bf16; the
+    cast's transpose returns f32 grads). Loss modules already upcast
+    logits to f32 at their entry points, so losses stay f32-stable."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
 def sgd_update(params, grads, momentum_buf, lr, momentum=0.9,
                weight_decay=5e-4, lr_scale=None, wd_scale=None):
     """torch.optim.SGD semantics: buf = m*buf + (grad + wd*p); p -= lr*buf.
@@ -190,6 +200,9 @@ class YolactTrainer:
     lr_fn: object = None
     momentum: float = 0.9
     weight_decay: float = 5e-4
+    # None = reference-parity f32; jnp.bfloat16 = TPU mixed precision
+    # (f32 master weights, bf16 forward/backward compute)
+    compute_dtype: object = None
 
     def __post_init__(self):
         from tpuseg.models.yolact import make_priors_np
@@ -211,8 +224,16 @@ class YolactTrainer:
         mom, wd = self.momentum, self.weight_decay
         lr_fn = self.lr_fn
 
+        cdt = self.compute_dtype
+
         def loss_fn(params, images, targets, key):
+            if cdt is not None:
+                params = cast_floats(params, cdt)
+                images = images.astype(cdt)
             preds, sem = forward_train(params, images, mcfg)
+            if cdt is not None:
+                preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
+                sem = sem.astype(jnp.float32)
             losses = total_loss(preds, sem, targets, priors, key, lcfg)
             return losses["total"], losses
 

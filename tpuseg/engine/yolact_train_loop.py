@@ -90,7 +90,7 @@ def batch_iterator(dataset, cfg, rng: np.random.Generator, batch_size: int,
 def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
           save_folder="weights/", cfg_name="yolact_base", resume=None,
           start_iter=-1, log_every=10, lr_fn=None, use_mesh=True,
-          max_steps=None):
+          max_steps=None, compute_dtype=None):
     """train.py main loop (README.md:225-237 CLI semantics)."""
     from tpuseg.engine.trainer import (
         YolactTrainer, ckpt_path, load_params_npz, parse_ckpt_iter,
@@ -99,7 +99,8 @@ def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
     from tpuseg.parallel.mesh import make_mesh, replicate, shard_batch
     from tpuseg.utils.logging import MovingAverage
 
-    trainer = YolactTrainer(model_cfg, lr_fn=lr_fn)
+    trainer = YolactTrainer(model_cfg, lr_fn=lr_fn,
+                            compute_dtype=compute_dtype)
     params = yolact_model.init_params(jax.random.PRNGKey(0), model_cfg)
     it = 0
     if resume:
