@@ -44,6 +44,11 @@ class ResNetConfig:
     # also stops the backward pass from materialising the huge
     # high-resolution conv residuals (1 GB stem temps at bs=8 800x1344)
     freeze_at: int = 0
+    # per-block jax.checkpoint is applied to stages in this set (0-based);
+    # remat trades an extra forward in the backward pass for activation
+    # memory — only the high-resolution early stages need it (layer1/2 at
+    # 200x336 dominate HBM; layer3/4 activations are cheap to save)
+    remat_stages: tuple = (0, 1, 2, 3)
 
     @property
     def stage_blocks(self):
@@ -104,10 +109,13 @@ def forward(params: dict, x: jax.Array, cfg: ResNetConfig) -> dict:
             # primal is unchanged under jit), but backward passes store
             # only block-boundary activations instead of every conv/BN
             # intermediate — the bs=8 800x1344 Mask R-CNN train step needs
-            # 18.2 GB of HLO temps without this (> 15.75 GB v5e HBM)
-            x = jax.checkpoint(
-                bottleneck, static_argnums=(2, 3, 4))(
-                    x, bp, stride if bi == 0 else 1, dilation, cfg)
+            # 18.2 GB of HLO temps without this (> 15.75 GB v5e HBM).
+            # cfg.remat_stages limits it to the stages whose activations
+            # actually dominate HBM
+            blk = bottleneck
+            if si in cfg.remat_stages:
+                blk = jax.checkpoint(bottleneck, static_argnums=(2, 3, 4))
+            x = blk(x, bp, stride if bi == 0 else 1, dilation, cfg)
         if cfg.freeze_at >= si + 2:
             x = jax.lax.stop_gradient(x)
         feats[f"c{si + 2}"] = x
