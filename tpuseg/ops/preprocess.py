@@ -92,6 +92,20 @@ def detectron_target_size(h: int, w: int, min_size: int = 800, max_size: int = 1
     return size, int(size * w / h)
 
 
+def _bilinear_rows(coords: jax.Array, in_size: int) -> jax.Array:
+    """coords [B, S] (clamped sample positions) -> [B, S, in_size] bilinear
+    row-weight matrices: weight (1-f) at floor(c), f at min(floor(c)+1,
+    in_size-1). When both corners clamp to the same index the one-hots
+    coincide and the weights sum to 1 (border replicate)."""
+    c0 = jnp.floor(coords)
+    f = coords - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, in_size - 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, in_size), 2)
+    return ((iota == c0i[..., None]).astype(jnp.float32) * (1.0 - f)[..., None]
+            + (iota == c1i[..., None]).astype(jnp.float32) * f[..., None])
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def letterbox_preprocess(images_u8: jax.Array, hw, size: int = 416):
     """uint8 RGB [B,H,W,3] + per-image true (h, w) -> [B,size,size,3] in [0,1].
@@ -122,20 +136,23 @@ def letterbox_preprocess(images_u8: jax.Array, hw, size: int = 416):
         (sy > -1.0) & (sy < h[:, None, None])
         & (sx > -1.0) & (sx < w[:, None, None])
     )
-    from tpuseg.ops.sampling import _bilinear_corners, _gather_weighted
-
     # clamp samples to the TRUE per-image extent (border replicate, like
     # cv2.resize): without this, edge output pixels bilinearly blend with
     # the zero-padded batch canvas and every image smaller than the batch
     # max gets a darkened 1px border
-    sy_c = jnp.clip(sy, 0.0, jnp.maximum(h[:, None, None] - 1.0, 0.0))
-    sx_c = jnp.clip(sx, 0.0, jnp.maximum(w[:, None, None] - 1.0, 0.0))
-    idx4, w4 = _bilinear_corners(sy_c, sx_c, ih, iw)
-
-    def per_image(feat, idx4_i, w4_i):
-        return _gather_weighted(feat.reshape(ih * iw, c), idx4_i, w4_i)
-
-    out = jax.vmap(per_image)(images_u8.astype(jnp.float32), idx4, w4)
+    sy_c = jnp.clip(sy[:, :, 0], 0.0, jnp.maximum(h[:, None] - 1.0, 0.0))
+    sx_c = jnp.clip(sx[:, 0, :], 0.0, jnp.maximum(w[:, None] - 1.0, 0.0))
+    # separable bilinear resampling as two batched matmuls (per-image
+    # scales -> per-image [S, in] weight matrices built from iota one-hots;
+    # the gather formulation this replaces cost 260 ms/16 imgs on TPU —
+    # 23M 3-wide gathers — vs ~2 ms for the MXU form)
+    ry = _bilinear_rows(sy_c, ih)  # [B, S, IH]
+    rx = _bilinear_rows(sx_c, iw)  # [B, S, IW]
+    img = images_u8.astype(jnp.float32)
+    tmp = jnp.einsum("bsh,bhwc->bswc", ry, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bjw,biwc->bijc", rx, tmp,
+                     precision=jax.lax.Precision.HIGHEST)
     out = out / 255.0
     return jnp.where(inside[..., None], out, 0.5)
 
