@@ -282,3 +282,23 @@ def test_roi_pool_matches_torch_incl_spanning_rois(rng):
     )
     want = np_roi_pool(feat, rois, bi, p, scale)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_dense_path_matches_gather(rng):
+    """The small-source dense one-hot grid_sample == the gather path,
+    incl. zero padding outside [-1,1] and boundary corners."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops import sampling as S
+
+    feat = jnp.asarray(rng.standard_normal((3, 48, 40, 1)).astype(np.float32))
+    grid = jnp.asarray(
+        rng.uniform(-1.4, 1.4, (3, 37, 29, 2)).astype(np.float32))
+    dense = np.asarray(S.grid_sample(feat, grid))
+    old = S._DENSE_GRID_SAMPLE_MAX
+    try:
+        S._DENSE_GRID_SAMPLE_MAX = 0
+        gather = np.asarray(S.grid_sample(feat, grid))
+    finally:
+        S._DENSE_GRID_SAMPLE_MAX = old
+    np.testing.assert_allclose(dense, gather, rtol=1e-5, atol=1e-6)

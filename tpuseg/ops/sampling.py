@@ -500,6 +500,12 @@ def multilevel_roi_align(
     return out.reshape(nchunks * chunk, p, p, c)[:n]
 
 
+# grid_sample sources with h*w*C at or below this take the dense one-hot
+# matmul path (MXU) instead of per-sample gathers; tests flip it to 0 to
+# compare both paths
+_DENSE_GRID_SAMPLE_MAX = 16384
+
+
 def grid_sample(
     features: jax.Array, grid: jax.Array, align_corners: bool = False
 ) -> jax.Array:
@@ -517,6 +523,39 @@ def grid_sample(
     else:
         x = ((gx + 1.0) * w - 1.0) * 0.5
         y = ((gy + 1.0) * h - 1.0) * 0.5
+    if h * w * c <= _DENSE_GRID_SAMPLE_MAX:
+        # dense one-hot contraction: for small sources the per-sample
+        # 4-corner gathers (1..C lanes wide) are TPU-hostile — the
+        # Pose2Seg paste (64 people x 256^2 samples from 64x64x1 maps)
+        # costs 210 ms as gathers vs ~2 ms as matmuls. Zero-padding
+        # factors per axis: a corner is in-bounds iff its row AND column
+        # are, so masked row/column one-hot matrices reproduce
+        # _bilinear_corners_zeropad exactly.
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy = (y - y0).astype(jnp.float32)
+        fx = (x - x0).astype(jnp.float32)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = y0i + 1
+        x1i = x0i + 1
+        ih = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, h), 3)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3)
+        wy0 = jnp.where((y0i >= 0) & (y0i <= h - 1), 1.0 - fy, 0.0)
+        wy1 = jnp.where((y1i >= 0) & (y1i <= h - 1), fy, 0.0)
+        wx0 = jnp.where((x0i >= 0) & (x0i <= w - 1), 1.0 - fx, 0.0)
+        wx1 = jnp.where((x1i >= 0) & (x1i <= w - 1), fx, 0.0)
+        ohy = ((ih == y0i[..., None]).astype(jnp.float32) * wy0[..., None]
+               + (ih == y1i[..., None]).astype(jnp.float32) * wy1[..., None])
+        ohx = ((iw == x0i[..., None]).astype(jnp.float32) * wx0[..., None]
+               + (iw == x1i[..., None]).astype(jnp.float32) * wx1[..., None])
+        featr = features.astype(jnp.float32).reshape(b, h, w * c)
+        tmp = jnp.einsum("bijh,bhx->bijx", ohy, featr,
+                         precision=jax.lax.Precision.HIGHEST)
+        tmp = tmp.reshape(tmp.shape[:3] + (w, c))
+        out = jnp.einsum("bijw,bijwc->bijc", ohx, tmp,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.astype(features.dtype)
     idx4, w4 = _bilinear_corners_zeropad(y, x, h, w)
 
     def per_image(feat, idx4_i, w4_i):
