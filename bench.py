@@ -237,7 +237,9 @@ def bench_yolact_plus(jax, jnp, np):
 
 
 def bench_maskrcnn(jax, jnp, np, variant="fpn"):
-    batch = 16 if variant == "fpn" else 8
+    # bs=32 beats 16 by ~6% on the chip (126 -> 134 img/s; sweep in
+    # docs/INVENTORY.md round-3 table) — the detection tail amortizes
+    batch = 32 if variant == "fpn" else 8
     dtype = jnp.bfloat16
     if variant == "c4":
         from tpuseg.models import maskrcnn_c4 as M

@@ -175,9 +175,13 @@ def _prediction_head(params: dict, x: jax.Array, cfg: YolactConfig):
 def _resnet_cfg(cfg: YolactConfig) -> resnet_nn.ResNetConfig:
     depth = int(cfg.backbone[6:])
     dcn = (1, 2, 3) if cfg.dcn_backbone else ()
+    # dbolya backbone.py: resnet101_dcn_inter3_backbone passes
+    # dcn_interval=3; resnet50_dcnv2_backbone keeps the default interval 1
+    # (every block of stages 2-4 is deformable). Both cover whole stages
+    # (dcn_layers == stage depth), so stage+interval captures the layout.
     return resnet_nn.ResNetConfig(
         depth=depth, stride_in_1x1=False, frozen_bn=False,
-        dcn_stages=dcn, dcn_interval=3)
+        dcn_stages=dcn, dcn_interval=3 if depth == 101 else 1)
 
 
 def backbone_forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:
