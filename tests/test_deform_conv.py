@@ -144,3 +144,71 @@ def test_dcn_block_splits_offset_conv_channels():
     want = np.asarray(deform_conv2d(
         x, jnp.asarray(offsets), jnp.asarray(mask), weight))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_deform_conv_onehot_matches_gather(rng):
+    """Pallas one-hot sampling path (interpreted) == gather path, incl.
+    far out-of-bounds offsets (zero-padding border) and stride/dilation."""
+    for (h, w, cin, cout, stride, dil, oscale) in (
+            (8, 9, 4, 6, 1, 1, 1.5),
+            (10, 7, 8, 8, 2, 1, 3.0),
+            (9, 9, 4, 4, 1, 2, 25.0),  # most samples fully outside
+    ):
+        b, k = 2, 3
+        ho = (h + 2 * dil - dil * 2 - 1) // stride + 1
+        wo = (w + 2 * dil - dil * 2 - 1) // stride + 1
+        x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+        offsets = (rng.standard_normal((b, ho, wo, 2 * k * k)) *
+                   oscale).astype(np.float32)
+        mask = rng.uniform(0.2, 1.0, (b, ho, wo, k * k)).astype(np.float32)
+        weight = rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+        bias = rng.standard_normal(cout).astype(np.float32)
+        args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(mask),
+                jnp.asarray(weight), jnp.asarray(bias))
+        kw = dict(stride=stride, padding=dil, dilation=dil)
+        want = np.asarray(deform_conv2d(*args, method="gather", **kw))
+        got = np.asarray(deform_conv2d(*args, method="onehot", **kw))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dcn_sample_pallas_matches_ref(rng):
+    """dcn_sample kernel (interpret) == chunked jnp reference, with S not a
+    multiple of the tile."""
+    from tpuseg.ops.pallas.dcn_pl import (_dcn_sample_ref, dcn_sample,
+                                          hat_matrix)
+
+    b, h, w, c, s = 2, 7, 11, 4, 333
+    feats = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-2, h + 1, (b, s)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-2, w + 1, (b, s)).astype(np.float32))
+    wy = hat_matrix(sy, h, dtype=jnp.float32)
+    wx = hat_matrix(sx, w, dtype=jnp.float32)
+    want = np.asarray(_dcn_sample_ref(feats, wy, wx, chunk=64))
+    got = np.asarray(dcn_sample(feats, wy, wx, True, True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dcn_sample_grads_match_ref(rng):
+    """custom_vjp backward == autodiff through the jnp reference."""
+    from tpuseg.ops.pallas.dcn_pl import (_dcn_sample_ref, dcn_sample,
+                                          hat_matrix)
+    import jax
+
+    b, h, w, c, s = 1, 5, 6, 3, 17
+    feats = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-1, h, (b, s)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-1, w, (b, s)).astype(np.float32))
+    wy = hat_matrix(sy, h, dtype=jnp.float32)
+    wx = hat_matrix(sx, w, dtype=jnp.float32)
+
+    def loss_k(f, a, bm):
+        return jnp.sum(jnp.sin(dcn_sample(f, a, bm, True, True)))
+
+    def loss_r(f, a, bm):
+        return jnp.sum(jnp.sin(_dcn_sample_ref(f, a, bm, chunk=8)))
+
+    g_k = jax.grad(loss_k, argnums=(0, 1, 2))(feats, wy, wx)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(feats, wy, wx)
+    for a, b_ in zip(g_k, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6)
