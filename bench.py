@@ -41,18 +41,33 @@ def _emit(metric, value, unit, base=None):
     }), flush=True)
 
 
-def _timeit(run, args, iters=20, warm=3):
-    import jax
+def _sync(out):
+    """Force completion via a scalar host readback of the last output.
 
+    block_until_ready returns EARLY for some program shapes on the axon
+    tunnel backend (observed for pallas-terminal and lax.scan programs:
+    a ViT batch "finished" in 0.02 ms). Device execution is in-order, so
+    reading one element of the final iteration's output proves the whole
+    queue drained. Costs one tunnel RTT per timing window (amortized over
+    iters; ~1% bias at 20+ iters).
+    """
+    import jax
+    import numpy as np
+
+    x = jax.tree.leaves(out)[0]
+    np.asarray(x[(0,) * x.ndim])
+
+
+def _timeit(run, args, iters=20, warm=3):
     out = run(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     for _ in range(warm):
         out = run(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -319,6 +334,24 @@ def bench_yolov3(jax, jnp, np):
           batch / t, "img/s/chip")
 
 
+def bench_vit(jax, jnp, np):
+    from tpuseg.nn import vit as V
+
+    batch = 128
+    cfg = V.VIT_B16
+    params = _bf16_params(jax, jnp, V.init_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal(
+        (batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32))
+
+    def pipe(p, im):
+        return V.forward(p, im.astype(jnp.bfloat16), cfg)
+
+    t = _timeit(jax.jit(pipe), (params, images), iters=15)
+    _emit("ViT-B/16 classification throughput (img/s/chip)",
+          batch / t, "img/s/chip")
+
+
 def bench_pose2seg(jax, jnp, np):
     from tpuseg.models import pose2seg as P
 
@@ -464,6 +497,7 @@ def main():
     guard("maskrcnn c4", bench_maskrcnn, jax, jnp, np, "c4")
     guard("retinanet", bench_retinanet, jax, jnp, np)
     guard("yolov3", bench_yolov3, jax, jnp, np)
+    guard("vit", bench_vit, jax, jnp, np)
     guard("pose2seg", bench_pose2seg, jax, jnp, np)
     guard("yolact train", bench_yolact_train, jax, jnp, np)
     guard("maskrcnn train", bench_maskrcnn_train, jax, jnp, np)
