@@ -242,22 +242,34 @@ def detect(preds: dict, priors: jax.Array, cfg: YolactConfig,
     """
 
     def per_image(loc, conf, coeff, proto):
-        boxes = box_ops.ssd_decode(loc, priors, cfg.variances)  # [N,4] normalized
-        scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
         # the reference's conf_thresh gates PRIORS by their max class
         # score (Detect.__call__: conf_scores > self.conf_thresh); a
         # surviving prior keeps ALL its per-class scores, however small
-        max_s = jnp.max(scores, axis=0)  # [N]
-        prior_ok = max_s > cfg.conf_thresh
-        if cfg.prior_topk and cfg.prior_topk < scores.shape[1]:
+        if cfg.prior_topk and cfg.prior_topk < conf.shape[0]:
             # two-stage: compact surviving priors before per-class work.
             # Equals the one-stage path whenever <= prior_topk priors pass
-            # the gate (tests/test_yolact.py::test_prior_topk_two_stage)
-            _, pidx, pv = box_ops.masked_topk(max_s, prior_ok, cfg.prior_topk)
-            scores = jnp.where(pv[None, :], scores[:, pidx], 0.0)
-            boxes = boxes[pidx]
+            # the gate (tests/test_yolact.py::test_prior_topk_two_stage).
+            # The gate runs in LOGIT space: max_c softmax(l)_c =
+            # exp(max_fg l - logsumexp(l)), and exp is monotonic, so
+            # ranking/thresholding on (max_fg l - lse) selects the same
+            # priors as on the softmax score — the [N, 81] softmax and the
+            # [N] box decode then only run on the prior_topk survivors
+            # (9.4x fewer priors at 550px).
+            lse = jax.nn.logsumexp(conf, axis=-1)  # [N]
+            log_max_s = jnp.max(conf[:, 1:], axis=-1) - lse
+            prior_ok = log_max_s > jnp.log(jnp.float32(cfg.conf_thresh))
+            _, pidx, pv = box_ops.masked_topk(log_max_s, prior_ok,
+                                              cfg.prior_topk)
+            scores = jax.nn.softmax(conf[pidx], -1)[:, 1:].T  # [C-1, K]
+            scores = jnp.where(pv[None, :], scores, 0.0)
+            boxes = box_ops.ssd_decode(loc[pidx], priors[pidx],
+                                       cfg.variances)
             prior_map = pidx  # compacted slot -> original prior
         else:
+            boxes = box_ops.ssd_decode(loc, priors, cfg.variances)  # [N,4]
+            scores = jax.nn.softmax(conf, -1)[:, 1:].T  # [C-1, N]
+            max_s = jnp.max(scores, axis=0)  # [N]
+            prior_ok = max_s > cfg.conf_thresh
             scores = jnp.where(prior_ok[None, :], scores, 0.0)
             prior_map = None
         if cfg.use_fast_nms:
