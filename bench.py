@@ -358,7 +358,8 @@ def bench_pose2seg(jax, jnp, np):
     cfg = P.Pose2SegConfig()
     params = _bf16_params(jax, jnp, P.init_params(jax.random.PRNGKey(0), cfg))
     rng = np.random.default_rng(0)
-    b, pp, s = 4, cfg.max_people, cfg.input_size
+    # bs sweep on chip: 4/8/16 -> 76.2 / 80.8 / 82.4 img/s
+    b, pp, s = 16, cfg.max_people, cfg.input_size
     images = jnp.asarray(rng.standard_normal((b, s, s, 3)).astype(np.float32))
     theta = jnp.asarray(np.tile(
         np.asarray([[0.3, 0.0, 0.1], [0.0, 0.3, 0.1]], np.float32),
