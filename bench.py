@@ -251,6 +251,33 @@ def bench_yolact_plus(jax, jnp, np):
           "throughput (img/s/chip)", batch / t, "img/s/chip", YOLACTPP_BASE)
 
 
+def bench_yolact_variant(jax, jnp, np, preset, batch, ref_fps, label):
+    """One zoo-table config (reference README.md:209-221 publishes FPS for
+    the whole YOLACT family; baseline scales the north star by the
+    reference's relative FPS on the same GPU, as for YOLACT++)."""
+    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.engine.config import get_config
+    from tpuseg.models import yolact as Y
+    from tpuseg.ops.preprocess import yolact_preprocess
+
+    cfg = yolact_model_config(get_config(preset))
+    cfg = Y.YolactConfig(**{**cfg.__dict__, "prior_topk": 2048})
+    params = _bf16_params(jax, jnp, Y.init_params(jax.random.PRNGKey(0), cfg))
+    priors = jnp.asarray(Y.make_priors_np(cfg))
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (batch, cfg.img_size, cfg.img_size, 3), np.uint8))
+
+    def pipe(p, im):
+        x = yolact_preprocess(im, size=cfg.img_size).astype(jnp.bfloat16)
+        preds = Y.forward(p, x, cfg)
+        preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
+        return Y.detect(preds, priors, cfg, params_miou=p.get("maskiou"))
+
+    t = _timeit(jax.jit(pipe), (params, images), iters=15)
+    _emit(f"{label} inference throughput (img/s/chip)",
+          batch / t, "img/s/chip", YOLACT_BASE * ref_fps / 42.5)
+
+
 def bench_maskrcnn(jax, jnp, np, variant="fpn"):
     # bs=32 beats 16 by ~6% on the chip (126 -> 134 img/s; sweep in
     # docs/INVENTORY.md round-3 table) — the detection tail amortizes
@@ -494,6 +521,16 @@ def main():
         guard("yolact e2e", bench_yolact_end_to_end, jax, jnp, np,
               run, params, cfg)
         del run, params
+    # the rest of the reference's published YOLACT table (README.md:209-221)
+    guard("yolact-darknet53", bench_yolact_variant, jax, jnp, np,
+          "yolact_darknet53_config", 32, 40.0, "YOLACT-550 DarkNet53-FPN")
+    guard("yolact-r101", bench_yolact_variant, jax, jnp, np,
+          "yolact_base_config", 32, 33.5, "YOLACT-550 R101-FPN")
+    guard("yolact-im700", bench_yolact_variant, jax, jnp, np,
+          "yolact_im700_config", 16, 23.6, "YOLACT-700 R101-FPN")
+    guard("yolact++-r101", bench_yolact_variant, jax, jnp, np,
+          "yolact_plus_base_config", 16, 27.3,
+          "YOLACT++-550 R101-FPN (DCNv2 interval-3 + maskiou)")
     guard("yolact++", bench_yolact_plus, jax, jnp, np)
     guard("maskrcnn c4", bench_maskrcnn, jax, jnp, np, "c4")
     guard("retinanet", bench_retinanet, jax, jnp, np)
