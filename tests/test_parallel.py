@@ -161,3 +161,108 @@ def test_maskrcnn_pallas_spmd_shard_map(rng):
     np.testing.assert_allclose(np.asarray(out["masks"])[v8],
                                np.asarray(single["masks"])[v1],
                                rtol=2e-3, atol=2e-2)
+
+
+def test_retinanet_sharded_eval_matches_single_device(rng):
+    """1-vs-8 device identity for the RetinaNet pipeline (GSPMD batch
+    sharding — the remaining detectron-family meta-arch)."""
+    from tpuseg.models import retinanet as RN
+    from tpuseg.parallel.inference import ShardedInference
+
+    cfg = RN.RetinaNetConfig(pre_nms_top_n=32, detections_per_img=8,
+                             num_classes=5)
+    params = RN.init_params(jax.random.PRNGKey(0), cfg)
+    # modest scale: saturated sigmoid scores (exact 1.0 ties) make the
+    # final top-k order an implementation detail GSPMD may permute
+    images = jnp.asarray(
+        rng.standard_normal((8, 128, 128, 3)).astype(np.float32) * 2.0)
+    hw = jnp.asarray([[120, 128]] * 8, jnp.int32)
+
+    def fn(p, batch):
+        im, hw_b = batch
+        return RN.forward_inference(p, im, hw_b, cfg)
+
+    single = jax.jit(lambda p, im, h: RN.forward_inference(p, im, h, cfg))(
+        params, images, hw)
+    sharded = ShardedInference(fn, params)
+    out = jax.device_get(sharded((images, hw)))
+    v1 = np.asarray(single["valid"])
+    np.testing.assert_array_equal(v1, out["valid"])
+    for k, atol in (("scores", 1e-4), ("boxes", 1e-2), ("classes", 0)):
+        # boxes at 1e-2 px: GSPMD recompiles the decode with different fp
+        # association than the single-device program
+        np.testing.assert_allclose(np.asarray(out[k])[out["valid"]],
+                                   np.asarray(single[k])[v1],
+                                   rtol=1e-4, atol=atol, err_msg=k)
+
+
+def test_yolov3_sharded_eval_matches_single_device(rng):
+    """1-vs-8 device identity for the full YOLOv3 pipeline."""
+    from tpuseg.models import yolov3 as Y3
+    from tpuseg.parallel.inference import ShardedInference
+
+    cfg = Y3.YoloV3Config(input_size=96, num_classes=6, max_det=8,
+                          pre_nms_topk=64)
+    params = Y3.init_params(jax.random.PRNGKey(0), cfg)
+    images = jnp.asarray(
+        rng.standard_normal((8, 96, 96, 3)).astype(np.float32) * 0.2 + 0.5)
+
+    def pipe(p, im):
+        outs = Y3.forward(p, im, cfg)
+        boxes, obj, cls = Y3.decode(outs, cfg)
+        return Y3.postprocess(boxes, obj, cls, cfg)
+
+    single = jax.jit(pipe)(params, images)
+    sharded = ShardedInference(pipe, params)
+    out = jax.device_get(sharded(images))
+    v1 = np.asarray(single["valid"])
+    np.testing.assert_array_equal(v1, out["valid"])
+    # random init explodes the exp() wh decode to huge/inf coordinates —
+    # legitimate garbage detections; rtol-only comparison (fp association
+    # differs between the GSPMD and single-device compilations)
+    for k in ("scores", "boxes", "classes"):
+        np.testing.assert_allclose(np.asarray(out[k])[out["valid"]],
+                                   np.asarray(single[k])[v1],
+                                   rtol=1e-2, atol=1e-4, err_msg=k)
+
+
+def test_pose2seg_sharded_eval_matches_single_device(rng):
+    """1-vs-8 device identity for the Pose2Seg padded-people pipeline."""
+    from tpuseg.models import pose2seg as P2S
+    from tpuseg.parallel.inference import ShardedInference
+
+    cfg = P2S.Pose2SegConfig(input_size=64, align_size=16, max_people=2,
+                             paste_size=32)
+    params = P2S.init_params(jax.random.PRNGKey(0), cfg)
+    b, pp = 8, cfg.max_people
+    images = jnp.asarray(
+        rng.standard_normal((b, 64, 64, 3)).astype(np.float32))
+    theta = jnp.asarray(np.tile(
+        np.asarray([[0.3, 0.0, 0.1], [0.0, 0.3, 0.1]], np.float32),
+        (b, pp, 1, 1)))
+    inv_theta = jnp.asarray(np.tile(
+        np.asarray([[3.0, 0.0, -0.3], [0.0, 3.0, -0.3]], np.float32),
+        (b, pp, 1, 1)))
+    pvalid = jnp.ones((b, pp), bool)
+    skel = jnp.asarray(rng.standard_normal(
+        (b, pp, cfg.align_size, cfg.align_size,
+         cfg.skeleton_channels)).astype(np.float32))
+
+    def fn(p, batch):
+        im, th, ith, pv, sk = batch
+        return P2S.forward(p, im, th, ith, pv, cfg, skel_feats=sk)
+
+    single = jax.jit(
+        lambda p, im, th, ith, pv, sk:
+        P2S.forward(p, im, th, ith, pv, cfg, skel_feats=sk))(
+            params, images, theta, inv_theta, pvalid, skel)
+    sharded = ShardedInference(fn, params)
+    out = jax.device_get(sharded((images, theta, inv_theta, pvalid, skel)))
+    np.testing.assert_allclose(np.asarray(out["masks"]),
+                               np.asarray(single["masks"]),
+                               rtol=1e-4, atol=1e-5)
+    # logits are ~1e4 under random weights; 1e-2 relative tolerates the
+    # cross-compilation fp association difference
+    np.testing.assert_allclose(np.asarray(out["aligned_logits"]),
+                               np.asarray(single["aligned_logits"]),
+                               rtol=1e-2, atol=1e-4)
