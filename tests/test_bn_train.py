@@ -1,0 +1,196 @@
+"""Train-mode BatchNorm parity (yolact/yolo/pose2seg training semantics).
+
+The reference trainers run BN in training mode: normalize by batch
+statistics, update running stats with momentum 0.1, and never let the
+optimizer touch the running buffers (torch buffers are not parameters).
+Covers layers.batch_norm under bn_train_mode against torch.nn.BatchNorm2d
+(forward, running-stat update, gradients through the batch statistics) and
+the trainer wiring (Yolact freeze_bn rule, Pose2Seg always-train).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuseg.nn import layers as L
+
+
+def _bn_params(rng, c):
+    return {
+        "weight": jnp.asarray(rng.uniform(0.5, 1.5, c).astype(np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+        "running_mean": jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+        "running_var": jnp.asarray(
+            rng.uniform(0.5, 2.0, c).astype(np.float32)),
+    }
+
+
+def test_batch_norm_train_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    c = 5
+    x = jnp.asarray(rng.standard_normal((4, 7, 9, c)).astype(np.float32))
+    p = _bn_params(rng, c)
+
+    bn = torch.nn.BatchNorm2d(c, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(np.asarray(p["weight"])))
+        bn.bias.copy_(torch.tensor(np.asarray(p["bias"])))
+        bn.running_mean.copy_(torch.tensor(np.asarray(p["running_mean"])))
+        bn.running_var.copy_(torch.tensor(np.asarray(p["running_var"])))
+    bn.train()
+    xt = torch.tensor(np.asarray(x), requires_grad=True)
+    yt = bn(xt.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    yt.pow(2).sum().backward()
+
+    params = {"bn": p}
+
+    def loss_fn(params, x):
+        with L.bn_train_mode() as bt:
+            y = L.batch_norm(x, params["bn"])
+        return jnp.sum(y ** 2), (y, L.bn_tape_by_path(params, bt.tape))
+
+    (_, (y, stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True, argnums=(0, 1))(params, x)
+    g_params, g_x = grads
+
+    np.testing.assert_allclose(np.asarray(y), yt.detach().numpy(),
+                               rtol=1e-5, atol=1e-5)
+    # gradients flow through the batch statistics exactly as in torch
+    np.testing.assert_allclose(np.asarray(g_x), xt.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_params["bn"]["weight"]),
+                               bn.weight.grad.numpy(), rtol=1e-4, atol=1e-4)
+    # running stats receive NO gradient in train mode...
+    assert float(jnp.abs(g_params["bn"]["running_mean"]).max()) == 0.0
+    assert float(jnp.abs(g_params["bn"]["running_var"]).max()) == 0.0
+    # ...and the momentum update (unbiased batch var) matches torch buffers
+    new = L.bn_apply_stats(params, stats)
+    np.testing.assert_allclose(np.asarray(new["bn"]["running_mean"]),
+                               bn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["bn"]["running_var"]),
+                               bn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_eval_outside_context(rng):
+    c = 3
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, c)).astype(np.float32))
+    p = _bn_params(rng, c)
+    np.testing.assert_array_equal(np.asarray(L.batch_norm(x, p)),
+                                  np.asarray(L.batch_norm_inference(x, p)))
+
+
+def test_sgd_never_touches_running_stats(rng):
+    from tpuseg.engine.trainer import sgd_init, sgd_update
+
+    p = {"bn": _bn_params(rng, 4), "w": jnp.ones((4,))}
+    # eval-mode BN routes real gradients into running stats — emulate that
+    g = jax.tree.map(jnp.ones_like, p)
+    buf = sgd_init(p)
+    new, _ = sgd_update(p, g, buf, 0.1, 0.9, 5e-4,
+                        lr_scale=L.bn_param_groups(p))
+    np.testing.assert_array_equal(np.asarray(new["bn"]["running_mean"]),
+                                  np.asarray(p["bn"]["running_mean"]))
+    np.testing.assert_array_equal(np.asarray(new["bn"]["running_var"]),
+                                  np.asarray(p["bn"]["running_var"]))
+    assert not np.allclose(np.asarray(new["w"]), np.asarray(p["w"]))
+    assert not np.allclose(np.asarray(new["bn"]["weight"]),
+                           np.asarray(p["bn"]["weight"]))
+
+
+def _yolact_setup(rng, freeze_bn):
+    from tpuseg.engine.trainer import YolactTrainer
+    from tpuseg.models import yolact as Y
+
+    cfg = Y.YolactConfig(img_size=64, num_classes=4, nms_top_k=8,
+                         max_num_detections=5)
+    trainer = YolactTrainer(cfg, lr_fn=lambda it: 1e-7, freeze_bn=freeze_bn)
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    buf = trainer.init_state(params)
+    sizes = Y.level_sizes(cfg)
+    proto = sizes[0] * 2
+    images = jnp.asarray(
+        rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    xy = rng.uniform(0, 0.5, (2, 8, 2))
+    wh = rng.uniform(0.2, 0.5, (2, 8, 2))
+    targets = {
+        "boxes": jnp.asarray(
+            np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+        "classes": jnp.asarray(rng.integers(0, 3, (2, 8)).astype(np.int32)),
+        "crowd": jnp.zeros((2, 8), bool),
+        "masks_proto": jnp.asarray(
+            (rng.uniform(size=(2, 8, proto, proto)) > 0.5).astype(np.float32)),
+        "masks_sem": jnp.asarray(
+            (rng.uniform(size=(2, 8, sizes[0], sizes[0])) > 0.5
+             ).astype(np.float32)),
+    }
+    return trainer, params, buf, images, targets
+
+
+def test_yolact_trainer_updates_running_stats(rng):
+    trainer, params, buf, images, targets = _yolact_setup(rng, freeze_bn=False)
+    rm0 = np.asarray(params["backbone"]["stem"]["bn"]["running_mean"])
+    p2, _, losses = trainer.train_step(
+        params, buf, images, targets, jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(losses["total"]))
+    rm1 = np.asarray(p2["backbone"]["stem"]["bn"]["running_mean"])
+    assert not np.allclose(rm1, rm0), "train-mode BN must move running stats"
+
+
+def test_yolact_trainer_freeze_bn_keeps_running_stats(rng):
+    trainer, params, buf, images, targets = _yolact_setup(rng, freeze_bn=True)
+    rm0 = np.asarray(params["backbone"]["stem"]["bn"]["running_mean"])
+    rv0 = np.asarray(params["backbone"]["stem"]["bn"]["running_var"])
+    p2, _, losses = trainer.train_step(
+        params, buf, images, targets, jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(losses["total"]))
+    np.testing.assert_array_equal(
+        np.asarray(p2["backbone"]["stem"]["bn"]["running_mean"]), rm0)
+    np.testing.assert_array_equal(
+        np.asarray(p2["backbone"]["stem"]["bn"]["running_var"]), rv0)
+
+
+def test_pose2seg_trainer_updates_running_stats(rng):
+    from tpuseg.models import pose2seg as P2S
+    from tpuseg.models.pose2seg_loss import Pose2SegTrainer, warp_gt_to_aligned
+
+    cfg = P2S.Pose2SegConfig(input_size=64, align_size=16, max_people=3,
+                             seg_units=2)
+    params = P2S.init_params(jax.random.PRNGKey(0), cfg)
+    trainer = Pose2SegTrainer(cfg, lr_fn=lambda it: 1e-6)
+    buf = trainer.init_state(params)
+    images = jnp.asarray(
+        rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    theta = (jnp.zeros((1, 3, 2, 3)).at[:, :, 0, 0].set(0.5)
+             .at[:, :, 1, 1].set(0.5))
+    valid = jnp.asarray([[True, True, False]])
+    gt = warp_gt_to_aligned(
+        jnp.asarray((rng.uniform(size=(1, 3, 64, 64)) > 0.5
+                     ).astype(np.float32)), theta, cfg.align_size)
+    skel = jnp.zeros((1, 3, cfg.align_size, cfg.align_size,
+                      cfg.skeleton_channels))
+    rm0 = np.asarray(params["seg"]["bn1"]["running_mean"])
+    p2, _, loss = trainer.train_step(
+        params, buf, images, theta, valid, (gt > 0.5).astype(jnp.float32),
+        0, skel=skel)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(
+        np.asarray(p2["seg"]["bn1"]["running_mean"]), rm0)
+
+
+def test_warp_gt_to_aligned_is_exact_diagonal(rng):
+    from tpuseg.models import pose2seg as P2S
+    from tpuseg.models.pose2seg_loss import warp_gt_to_aligned
+
+    b, p, h, w, s = 2, 3, 32, 40, 16
+    gt = jnp.asarray((rng.uniform(size=(b, p, h, w)) > 0.5
+                      ).astype(np.float32))
+    theta = jnp.asarray(
+        (rng.standard_normal((b, p, 2, 3)) * 0.3).astype(np.float32))
+    got = warp_gt_to_aligned(gt, theta, s)
+    # dense formulation: warp every mask with every person's affine and
+    # keep the diagonal (the pre-optimization semantics)
+    dense = P2S.affine_align(gt.transpose(0, 2, 3, 1), theta, s)
+    idx = jnp.arange(p)
+    want = dense[:, idx, :, :, idx].transpose(1, 0, 2, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

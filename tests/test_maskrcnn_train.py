@@ -125,3 +125,31 @@ def test_rpn_loss_straddle_masking():
     without = ML.rpn_loss(obj, dl, anchors, gt, gv, k, cfg, image_hw=None)
     # unmasked: 3 bg anchors with logit 5 dominate -> large loss
     assert float(without["loss_objectness"]) > 1.0
+
+
+def test_fpn_post_nms_per_batch_gate(rng):
+    """FPN_POST_NMS_PER_BATCH=True (train default): the post-NMS top-n is
+    taken over the concatenated batch — with distinct scores the total
+    valid count equals top_n, vs top_n*B in per-image (test-time) mode.
+    Reference: maskrcnn-benchmark rpn/inference.py select_over_all_levels."""
+    from dataclasses import replace
+
+    from tpuseg.models import maskrcnn as M
+
+    cfg = replace(M.MaskRCNNConfig(), rpn_nms_thresh=0.99,
+                  rpn_pre_nms_top_n=64, fpn_post_nms_top_n=8)
+    canvas = (64, 64)
+    anchors = [jnp.asarray(M.make_anchors_np(cfg, *canvas)[0])]
+    n = anchors[0].shape[0]
+    b = 2
+    # distinct random logits -> untied scores; zero deltas keep anchor boxes
+    logits = [jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))]
+    deltas = [jnp.zeros((b, n, 4), jnp.float32)]
+    hw = jnp.asarray([[64, 64]] * b, jnp.int32)
+
+    per_batch = replace(cfg, fpn_post_nms_per_batch=True)
+    _, _, val_b = M.rpn_proposals(logits, deltas, anchors, hw, per_batch,
+                                  canvas)
+    _, _, val_i = M.rpn_proposals(logits, deltas, anchors, hw, cfg, canvas)
+    assert int(val_i.sum()) == 8 * b
+    assert int(val_b.sum()) == 8

@@ -108,7 +108,12 @@ def test_mixed_precision_train_step_matches_f32(rng):
     key = jax.random.PRNGKey(1)
     out = {}
     for name, cdt in [("f32", None), ("bf16", jnp.bfloat16)]:
-        tr = YolactTrainer(cfg, lr_fn=lambda i: 1e-3, compute_dtype=cdt)
+        # freeze_bn: batch-stat BN at random init amplifies bf16 rounding
+        # of the batch statistics into O(10%) loss shifts; this test
+        # isolates the mixed-precision cast itself (train-mode BN parity
+        # is covered by tests/test_bn_train.py against torch)
+        tr = YolactTrainer(cfg, lr_fn=lambda i: 1e-3, compute_dtype=cdt,
+                           freeze_bn=True)
         buf = tr.init_state(params)
         p2, b2, losses = tr.train_step(params, buf, images, targets, key, 0)
         # master params and their updates stay f32

@@ -40,17 +40,24 @@ def main():
         params = jax.tree.map(jnp.asarray, params)
     buf = sgd_init(params)
 
+    from tpuseg.nn import layers as L
+
     def step(params, buf, images, hw, gt_boxes, gt_classes, it):
         def loss_fn(p):
             x = letterbox_preprocess(images, hw, size=args.img_size)
-            outs = Y.forward(p, x, cfg)
+            # darknet trains BN (batch stats + running-stat updates)
+            with L.bn_train_mode() as bt:
+                outs = Y.forward(p, x, cfg)
             losses = total_loss(outs, gt_boxes, gt_classes, cfg)
-            return losses["total"], losses
+            return losses["total"], (losses, L.bn_tape_by_path(p, bt.tape))
 
-        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, (losses, bn_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         # burn-in warmup; it is a traced array under jit -> jnp.minimum
         lr = args.lr * jnp.minimum(1.0, (it + 1) / 1000)
-        params, buf = sgd_update(params, grads, buf, lr, 0.9, 5e-4)
+        params, buf = sgd_update(params, grads, buf, lr, 0.9, 5e-4,
+                                 lr_scale=L.bn_param_groups(params))
+        params = L.bn_apply_stats(params, bn_stats)
         return params, buf, losses
 
     step_jit = jax.jit(step)

@@ -80,7 +80,13 @@ yolact_darknet53_config = register_config(
 
 yolact_im700_config = register_config(
     "yolact_im700_config",
-    yolact_base_config.copy({"name": "yolact_im700", "max_size": 700}),
+    # pred_scales rescale with the input (int(s / 550 * 700), upstream
+    # yolact_im700_config) exactly as im400 below does — keeping the 550
+    # scales would make every prior ~27% too small for the released im700
+    # checkpoint
+    yolact_base_config.copy({"name": "yolact_im700", "max_size": 700,
+                             "scales": [int(s / 550 * 700)
+                                        for s in (24, 48, 96, 192, 384)]}),
 )
 
 yolact_im400_config = register_config(

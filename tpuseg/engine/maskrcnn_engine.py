@@ -119,11 +119,17 @@ class MaskRCNNPredictor:
                 from tpuseg.parallel.mesh import make_mesh
 
                 mesh = make_mesh(self.n_devices)
-                rep = NamedSharding(mesh, P())
-                bsh = NamedSharding(mesh, P("data"))
-                self.params = jax.device_put(self.params, rep)
-                return jax.jit(run, in_shardings=(rep, bsh, bsh),
-                               out_shardings=bsh)
+                self.params = jax.device_put(
+                    self.params, NamedSharding(mesh, P()))
+                # shard_map is REQUIRED here, not GSPMD jit-shardings: on
+                # TPU forward_inference contains pallas_call (RoIAlign /
+                # NMS kernels), which carries no SPMD partitioning rule —
+                # see tpuseg/parallel/inference.py. Each chip runs the
+                # kernels on its own batch shard.
+                inner = jax.shard_map(run, mesh=mesh,
+                                      in_specs=(P(), P("data"), P("data")),
+                                      out_specs=P("data"), check_vma=False)
+                return jax.jit(inner)
             return jax.jit(run)
 
         self._make_run = make_run
@@ -260,6 +266,8 @@ def model_config_from_node(node):
         rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 1000)),
         rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
         fpn_post_nms_top_n=int(get("MODEL.RPN.FPN_POST_NMS_TOP_N_TEST", 1000)),
+        fpn_post_nms_top_n_train=int(
+            get("MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN", 2000)),
         num_classes=num_classes,
         mask_on=mask_on,
     )

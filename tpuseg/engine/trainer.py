@@ -203,6 +203,10 @@ class YolactTrainer:
     # None = reference-parity f32; jnp.bfloat16 = TPU mixed precision
     # (f32 master weights, bf16 forward/backward compute)
     compute_dtype: object = None
+    # yolact train.py freezes BN when the per-GPU batch is < 6 ("Per-GPU
+    # batch size is less than the recommended limit for batch norm");
+    # otherwise BN trains (batch statistics + running-stat momentum 0.1)
+    freeze_bn: bool = False
 
     def __post_init__(self):
         from tpuseg.models.yolact import make_priors_np
@@ -218,31 +222,46 @@ class YolactTrainer:
     def _make_step(self):
         from tpuseg.models.yolact import forward_train
         from tpuseg.models.yolact_loss import total_loss
+        from tpuseg.nn import layers as L
 
         mcfg, lcfg = self.model_cfg, self.loss_cfg
         priors = self.priors
         mom, wd = self.momentum, self.weight_decay
         lr_fn = self.lr_fn
+        train_bn = not self.freeze_bn
 
         cdt = self.compute_dtype
 
         def loss_fn(params, images, targets, key):
+            pc = params
             if cdt is not None:
-                params = cast_floats(params, cdt)
+                pc = cast_floats(params, cdt)
                 images = images.astype(cdt)
-            preds, sem = forward_train(params, images, mcfg)
+            if train_bn:
+                with L.bn_train_mode() as bt:
+                    preds, sem = forward_train(pc, images, mcfg)
+                bn_stats = L.bn_tape_by_path(pc, bt.tape)
+            else:
+                preds, sem = forward_train(pc, images, mcfg)
+                bn_stats = {}
             if cdt is not None:
                 preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
                 sem = sem.astype(jnp.float32)
             losses = total_loss(preds, sem, targets, priors, key, lcfg)
-            return losses["total"], losses
+            return losses["total"], (losses, bn_stats)
 
         def step(params, buf, images, targets, key, iteration):
-            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, targets, key
-            )
+            (_, (losses, bn_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, images, targets, key)
             lr = lr_fn(iteration)
-            params, buf = sgd_update(params, grads, buf, lr, mom, wd)
+            # running stats are torch buffers: updated by momentum below,
+            # never by the optimizer (eval-mode BN still routes real
+            # gradients into them, so they must be pinned explicitly)
+            ls = L.bn_param_groups(params)
+            params, buf = sgd_update(params, grads, buf, lr, mom, wd,
+                                     lr_scale=ls)
+            if bn_stats:
+                params = L.bn_apply_stats(params, bn_stats)
             return params, buf, losses
 
         return step

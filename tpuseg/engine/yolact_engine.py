@@ -62,14 +62,20 @@ class YolactPredictor:
             from tpuseg.parallel.mesh import make_mesh
 
             mesh = make_mesh(self.n_devices)
-            rep = NamedSharding(mesh, P())
-            bsh = NamedSharding(mesh, P("data"))
             assert batch_size % self.n_devices == 0, (
                 f"batch_size {batch_size} must divide across "
                 f"{self.n_devices} devices")
-            self.params = jax.device_put(self.params, rep)
-            self._run = jax.jit(_run, in_shardings=(rep, bsh),
-                                out_shardings=bsh)
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, P()))
+            # shard_map, not GSPMD jit-shardings: the traditional-NMS
+            # option routes through pallas_call on TPU, which carries no
+            # SPMD partitioning rule (see tpuseg/parallel/inference.py) —
+            # per-shard execution is the data-parallel semantics we want
+            # either way.
+            inner = jax.shard_map(_run, mesh=mesh,
+                                  in_specs=(P(), P("data")),
+                                  out_specs=P("data"), check_vma=False)
+            self._run = jax.jit(inner)
         else:
             self._run = jax.jit(_run)
 

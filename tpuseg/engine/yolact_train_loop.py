@@ -99,8 +99,13 @@ def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
     from tpuseg.parallel.mesh import make_mesh, replicate, shard_batch
     from tpuseg.utils.logging import MovingAverage
 
+    n_dev = len(jax.devices()) if use_mesh else 1
+    # yolact train.py: per-GPU batch < 6 -> "Disabling batch norm" —
+    # otherwise BN trains (batch stats + running-stat updates)
+    freeze_bn = (batch_size // max(n_dev, 1)) < 6
     trainer = YolactTrainer(model_cfg, lr_fn=lr_fn,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype,
+                            freeze_bn=freeze_bn)
     params = yolact_model.init_params(jax.random.PRNGKey(0), model_cfg)
     it = 0
     if resume:

@@ -51,6 +51,9 @@ class MaskRCNNConfig:
     # train-time proposal budget (maskrcnn-benchmark *_TRAIN knobs)
     rpn_pre_nms_top_n_train: int = 2000
     fpn_post_nms_top_n_train: int = 2000
+    # FPN_POST_NMS_PER_BATCH (default True upstream, training only): the
+    # post-NMS top-n is taken over the concatenated batch, not per image
+    fpn_post_nms_per_batch: bool = False
     # roi box head
     num_classes: int = 81
     pooler_resolution: int = 7
@@ -250,6 +253,16 @@ def rpn_proposals(
     all_boxes = jnp.concatenate(lvl_boxes, 1)
     all_scores = jnp.concatenate(lvl_scores, 1)
     all_valid = jnp.concatenate(lvl_valid, 1)
+    if cfg.fpn_post_nms_per_batch:
+        # FPN_POST_NMS_PER_BATCH=True (train default): upstream
+        # rpn/inference.py select_over_all_levels takes ONE top-n over the
+        # whole concatenated batch. Realised as a batch-wide kth-score gate
+        # on the validity mask so shapes stay padded [B, P]; the per-image
+        # top-k below then passes everything that survived the gate.
+        k = min(cfg.fpn_post_nms_top_n, all_scores.size)
+        flat = jnp.where(all_valid, all_scores, -jnp.inf).reshape(-1)
+        kth = jax.lax.top_k(flat, k)[0][-1]
+        all_valid = all_valid & (all_scores >= kth)
     top_s, idx, valid = box_ops.masked_topk(
         all_scores, all_valid, cfg.fpn_post_nms_top_n
     )
@@ -450,7 +463,8 @@ def forward_train_losses(
     train_cfg = _replace(
         cfg,
         rpn_pre_nms_top_n=cfg.rpn_pre_nms_top_n_train,
-        fpn_post_nms_top_n=cfg.fpn_post_nms_top_n_train)
+        fpn_post_nms_top_n=cfg.fpn_post_nms_top_n_train,
+        fpn_post_nms_per_batch=True)
     # detach BEFORE proposal generation (upstream rpn.py passes
     # objectness/box_regression .detach()ed into the post-processor):
     # gradients must not be traced into the NMS — the Pallas kernel has no

@@ -341,13 +341,13 @@ def backbone_forward(params: dict, images: jax.Array, cfg: Pose2SegConfig):
 def seg_module(params: dict, x: jax.Array, cfg: Pose2SegConfig) -> jax.Array:
     """resnet10units: conv+bn then 10 Bottleneck(256, 64) units then a 1x1
     2-channel classifier. [N,64,64,Cin] -> [N,64,64,2] logits."""
-    x = L.relu(L.batch_norm_inference(
+    x = L.relu(L.batch_norm(
         L.conv2d(x, params["conv1"], padding=1), params["bn1"]))
     for bp in params["units"]:
-        h = L.relu(L.batch_norm_inference(L.conv2d(x, bp["conv1"]), bp["bn1"]))
-        h = L.relu(L.batch_norm_inference(
+        h = L.relu(L.batch_norm(L.conv2d(x, bp["conv1"]), bp["bn1"]))
+        h = L.relu(L.batch_norm(
             L.conv2d(h, bp["conv2"], padding=1), bp["bn2"]))
-        h = L.batch_norm_inference(L.conv2d(h, bp["conv3"]), bp["bn3"])
+        h = L.batch_norm(L.conv2d(h, bp["conv3"]), bp["bn3"])
         x = L.relu(x + h)
     return L.conv2d(x, params["classifier"])
 

@@ -28,12 +28,14 @@ def warp_gt_to_aligned(gt_masks, theta, align_size):
     """gt_masks [B,P,H,W] float; theta [B,P,2,3] -> [B,P,S,S] (same affine
     as the feature crop)."""
     b, p, h, w = gt_masks.shape
+    # fold persons into the sample batch axis so each person's affine is
+    # applied ONLY to that person's own mask channel (a [B,H,W,P] call
+    # would warp every mask with every theta and keep just the diagonal —
+    # P x the grid_sample work and a [B,P,S,S,P] intermediate)
     out = P2S.affine_align(
-        gt_masks.reshape(b, p, h, w).transpose(0, 2, 3, 1),  # -> [B,H,W,P]
-        theta, align_size)
-    # affine_align crops each person slot from ALL channels; select diag
-    idx = jnp.arange(p)
-    return out[:, idx, :, :, idx].transpose(1, 0, 2, 3)
+        gt_masks.reshape(b * p, h, w, 1),
+        theta.reshape(b * p, 1, 2, 3), align_size)  # [B*P,1,S,S,1]
+    return out.reshape(b, p, align_size, align_size)
 
 
 class Pose2SegTrainer:
@@ -45,23 +47,32 @@ class Pose2SegTrainer:
         c = cfg
         lr_fn_ = self.lr_fn
 
+        from tpuseg.nn import layers as L
+
         def loss_fn(params, images, theta, valid, gt_aligned, skel):
-            feats = P2S.backbone_forward(params, images, c)
-            aligned = P2S.affine_align(feats, theta, c.align_size)
-            if c.cat_skeleton:
-                aligned = jnp.concatenate(
-                    [aligned, skel.astype(aligned.dtype)], axis=-1)
-            b, p = theta.shape[:2]
-            logits = P2S.seg_module(
-                params["seg"],
-                aligned.reshape(b * p, c.align_size, c.align_size, -1), c)
+            # Pose2Seg train.py runs the whole model in training mode:
+            # BN normalizes by batch stats and updates running stats
+            with L.bn_train_mode() as bt:
+                feats = P2S.backbone_forward(params, images, c)
+                aligned = P2S.affine_align(feats, theta, c.align_size)
+                if c.cat_skeleton:
+                    aligned = jnp.concatenate(
+                        [aligned, skel.astype(aligned.dtype)], axis=-1)
+                b, p = theta.shape[:2]
+                logits = P2S.seg_module(
+                    params["seg"],
+                    aligned.reshape(b * p, c.align_size, c.align_size, -1), c)
+            bn_stats = L.bn_tape_by_path(params, bt.tape)
             logits = logits.reshape(b, p, c.align_size, c.align_size, 2)
-            return aligned_ce_loss(logits, gt_aligned, valid)
+            return aligned_ce_loss(logits, gt_aligned, valid), bn_stats
 
         def step(params, buf, images, theta, valid, gt_aligned, skel, it):
-            loss, grads = jax.value_and_grad(loss_fn)(
+            (loss, bn_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(
                 params, images, theta, valid, gt_aligned, skel)
-            params, buf = sgd_update(params, grads, buf, lr_fn_(it), mom, wd)
+            params, buf = sgd_update(params, grads, buf, lr_fn_(it), mom, wd,
+                                     lr_scale=L.bn_param_groups(params))
+            params = L.bn_apply_stats(params, bn_stats)
             return params, buf, loss
 
         self._step = jax.jit(step)

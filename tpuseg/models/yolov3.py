@@ -52,7 +52,7 @@ def _cbl(x, p, cfg, stride=1, padding=None, kernel=3):
     if padding is None:
         padding = kernel // 2
     x = L.conv2d(x, p["conv"], stride=stride, padding=padding)
-    x = L.batch_norm_inference(x, p["bn"])
+    x = L.batch_norm(x, p["bn"])
     return jnp.where(x > 0, x, 0.1 * x)
 
 

@@ -26,7 +26,7 @@ class DarkNetConfig:
 
 def _conv_bn_leaky(x, p, cfg, stride=1, padding=1, kernel=3):
     x = L.conv2d(x, p["conv"], stride=stride, padding=padding)
-    x = L.batch_norm_inference(x, p["bn"], eps=cfg.bn_eps)
+    x = L.batch_norm(x, p["bn"], eps=cfg.bn_eps)
     return jnp.where(x > 0, x, cfg.leaky_slope * x)
 
 

@@ -95,6 +95,125 @@ def batch_norm_inference(x: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
     return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+# --- train-mode BatchNorm (yolact/yolo/pose2seg training parity) -----------
+#
+# The reference trainers run BN in training mode (normalize by batch
+# statistics, update running stats with momentum); only the detectron family
+# freezes BN. Functionally: ``batch_norm`` normalizes by batch stats while a
+# ``bn_train_mode`` context is active and tapes ``(param_dict, mean, var,
+# n)`` at trace time; the trainer returns the taped stats as an aux output
+# (keyed by param path via :func:`bn_tape_by_path`) and folds them into the
+# master params with :func:`bn_apply_stats` — torch ``momentum=0.1``
+# semantics, unbiased variance for the running update.
+
+_BN_TAPE = None
+
+
+class bn_train_mode:
+    """Trace-time context switching :func:`batch_norm` to training mode."""
+
+    def __init__(self):
+        self.tape = []
+
+    def __enter__(self):
+        global _BN_TAPE
+        self._prev = _BN_TAPE
+        _BN_TAPE = self
+        return self
+
+    def __exit__(self, *exc):
+        global _BN_TAPE
+        _BN_TAPE = self._prev
+        return False
+
+
+def bn_training() -> bool:
+    return _BN_TAPE is not None
+
+
+def batch_norm(x: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
+    """BatchNorm2d: eval mode normally; batch-stat mode under
+    :class:`bn_train_mode` (stats computed in f32, torch semantics —
+    normalization uses the biased variance)."""
+    if _BN_TAPE is None:
+        return batch_norm_inference(x, p, eps=eps)
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axes)
+    var = jnp.var(xf, axes)
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    _BN_TAPE.tape.append((p, mean, var, n))
+    scale = p["weight"].astype(jnp.float32) * jax.lax.rsqrt(var + eps)
+    bias = p["bias"].astype(jnp.float32) - mean * scale
+    return (xf * scale + bias).astype(x.dtype)
+
+
+def bn_tape_by_path(params, tape) -> dict:
+    """Resolve taped BN param dicts to their paths in ``params`` (the SAME
+    tree object the forward indexed into). Returns ``{path_tuple: (mean,
+    var, n)}`` — a valid pytree aux output (tracers as leaves, static
+    paths as keys)."""
+    paths = {}
+
+    def walk(t, pre):
+        if isinstance(t, dict):
+            paths[id(t)] = pre
+            for k, v in t.items():
+                walk(v, pre + (k,))
+        elif isinstance(t, (list, tuple)):
+            for i, v in enumerate(t):
+                walk(v, pre + (i,))
+
+    walk(params, ())
+    out = {}
+    for p, mean, var, n in tape:
+        path = paths.get(id(p))
+        if path is None:
+            raise ValueError("taped BN params not found in the given tree — "
+                             "pass the exact tree the forward used")
+        out[path] = (mean, var, float(n))
+    return out
+
+
+def bn_apply_stats(params, stats: dict, momentum: float = 0.1):
+    """New params tree with each ``{path: (mean, var, n)}`` entry's
+    ``running_mean``/``running_var`` updated (torch: ``r = (1-m)*r +
+    m*batch``; running_var uses the unbiased batch variance)."""
+
+    def rec(t, pre):
+        if isinstance(t, dict):
+            if pre in stats:
+                mean, var, n = stats[pre]
+                unbiased = var * (n / max(n - 1.0, 1.0))
+                t = dict(t)
+                rm, rv = t["running_mean"], t["running_var"]
+                t["running_mean"] = ((1 - momentum) * rm
+                                     + momentum * mean.astype(rm.dtype))
+                t["running_var"] = ((1 - momentum) * rv
+                                    + momentum * unbiased.astype(rv.dtype))
+                return t
+            return {k: rec(v, pre + (k,)) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(rec(v, pre + (i,)) for i, v in enumerate(t))
+        return t
+
+    return rec(params, ())
+
+
+def bn_param_groups(params):
+    """lr_scale tree pinning BN running statistics (torch buffers — never
+    optimizer-updated; eval-mode BN gives them real gradients and plain
+    SGD+wd would otherwise train them)."""
+
+    def spec(path, leaf):
+        keys = [getattr(k, "key", None) for k in path]
+        return 0.0 if ("running_mean" in keys or "running_var" in keys) else 1.0
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def batch_norm_train(x: jax.Array, p: dict, eps: float = 1e-5, axes=(0, 1, 2)):
     """BatchNorm2d training mode: normalize by batch stats.
 

@@ -60,9 +60,13 @@ class ResNetConfig:
 
 def _norm(x, p, cfg: ResNetConfig):
     # at inference FrozenBN and eval-mode BN are the same affine op; eps
-    # differs (detectron folds eps into the stored running_var -> eps=0)
-    eps = 0.0 if cfg.frozen_bn else cfg.bn_eps
-    return L.batch_norm_inference(x, p, eps=eps)
+    # differs (detectron folds eps into the stored running_var -> eps=0).
+    # Non-frozen BN (yolact/pose2seg backbones) routes through the
+    # train-aware dispatcher so reference trainers normalize by batch
+    # stats; FrozenBN stays frozen even in training (detectron semantics).
+    if cfg.frozen_bn:
+        return L.batch_norm_inference(x, p, eps=0.0)
+    return L.batch_norm(x, p, eps=cfg.bn_eps)
 
 
 def bottleneck(x: jax.Array, p: dict, stride: int, dilation: int, cfg: ResNetConfig):
@@ -113,7 +117,13 @@ def forward(params: dict, x: jax.Array, cfg: ResNetConfig) -> dict:
             # cfg.remat_stages limits it to the stages whose activations
             # actually dominate HBM
             blk = bottleneck
-            if si in cfg.remat_stages:
+            # train-mode BN tapes batch stats at trace time; a taped value
+            # inside a jax.checkpoint region would leak its sub-trace, so
+            # remat is skipped while bn_train_mode is active (yolact's 550
+            # canvas fits HBM without it; the detectron train path that
+            # NEEDS remat uses FrozenBN and never tapes)
+            if si in cfg.remat_stages and not (
+                    not cfg.frozen_bn and L.bn_training()):
                 blk = jax.checkpoint(bottleneck, static_argnums=(2, 3, 4))
             x = blk(x, bp, stride if bi == 0 else 1, dilation, cfg)
         if cfg.freeze_at >= si + 2:

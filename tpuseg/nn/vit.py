@@ -44,8 +44,13 @@ def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 8)
     d, mlp, nl = cfg.hidden_size, cfg.mlp_dim, cfg.num_layers
 
+    # each stacked parameter (q/k/v/out/fc1/fc2) gets an independent key —
+    # reusing one key would make Q==K==V==O per layer (degenerate init)
+    _stack_n = iter(range(64))
+
     def stack(f):
-        return jax.vmap(f)(jax.random.split(ks[7], nl))
+        k = jax.random.fold_in(ks[7], next(_stack_n))
+        return jax.vmap(f)(jax.random.split(k, nl))
 
     block = {
         "ln1": {"weight": jnp.ones((nl, d), dtype), "bias": jnp.zeros((nl, d), dtype)},
