@@ -202,13 +202,15 @@ def bench_yolact_end_to_end(jax, jnp, np, run, params, cfg):
     from tpuseg.data.prefetch import DevicePrefetcher
 
     out = run(params, jax.device_put(load(0)))
-    jax.block_until_ready(out)
+    _sync(out)
     pf = DevicePrefetcher(load, iters + 1, depth=2)
     out = run(params, next(pf))  # first batch outside the timed window
+    _sync(out)  # drain the warm batch so its tail can't leak into t0
     t0 = time.perf_counter()
     for dev_batch in pf:
         out = run(params, dev_batch)
-    jax.block_until_ready(out)
+    _sync(out)  # readback sync: block_until_ready is unreliable on the
+    # tunnel backend for some program shapes (see _sync docstring)
     dt = (time.perf_counter() - t0) / iters
     _emit("YOLACT-550 R50-FPN end-to-end throughput incl. JPEG decode "
           f"({'native' if loader.is_native else 'cv2'} loader, img/s/chip)",

@@ -33,22 +33,27 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def fam(name, weight, expect, note=""):
-    return {"name": name, "weight": weight, "expect": expect, "note": note}
+def fam(name, weight, expect, note="", tol=0.1):
+    """``tol`` is the per-row |delta| budget for the PASS verdict: 0.1 pt
+    for rows whose expected value is exact, looser for rows whose expected
+    value is itself approximate (rounded MODEL_ZOO entries, val-vs-testdev
+    variance, paper numbers) — a perfect-parity run must be able to PASS."""
+    return {"name": name, "weight": weight, "expect": expect, "note": note,
+            "tol": tol}
 
 
 FAMILIES = [
     fam("yolact_r50_550", "yolact_resnet50_54_800000.pth",
         {"box": 30.2, "mask": 28.0},
-        "zoo README.md:211 (test-dev 28.2); val2017 ~28.0"),
+        "zoo README.md:211 (test-dev 28.2); val2017 ~28.0", tol=0.5),
     fam("mask_rcnn_r50_fpn", "e2e_mask_rcnn_R_50_FPN_1x.pth",
-        {"box": 37.8, "mask": 34.2}, "upstream MODEL_ZOO (approx)"),
+        {"box": 37.8, "mask": 34.2}, "upstream MODEL_ZOO (approx)", tol=0.5),
     fam("mask_rcnn_r50_c4", "e2e_mask_rcnn_R_50_C4_1x.pth",
-        {"box": 35.6, "mask": 31.5}, "upstream MODEL_ZOO (approx)"),
+        {"box": 35.6, "mask": 31.5}, "upstream MODEL_ZOO (approx)", tol=0.5),
     fam("retinanet_r50", "retinanet_R-50-FPN_1x.pth",
-        {"box": 36.3}, "upstream MODEL_ZOO (approx)"),
+        {"box": 36.3}, "upstream MODEL_ZOO (approx)", tol=0.5),
     fam("yolov3_608", "yolov3.weights",
-        {"box": 33.0}, "paper @608 (AP50 57.9)"),
+        {"box": 33.0}, "paper @608 (AP50 57.9)", tol=1.0),
     fam("pose2seg", "last.pkl",
         {}, "expected pending arbitration vs released table"),
 ]
@@ -82,7 +87,7 @@ def run_yolact(wpath, args, smoke):
     return {"box": maps["box"]["all"], "mask": maps["mask"]["all"]}
 
 
-def _run_detectron(wpath, args, smoke, variant, mask_on=True):
+def _run_detectron(wpath, args, smoke, variant):
     from tpuseg.data.coco_dataset import CocoDetectionDataset
     from tpuseg.engine.maskrcnn_engine import (MaskRCNNPredictor,
                                                evaluate_coco)
@@ -132,7 +137,7 @@ def run_maskrcnn_c4(wpath, args, smoke):
 
 
 def run_retinanet(wpath, args, smoke):
-    return _run_detectron(wpath, args, smoke, "retinanet", mask_on=False)
+    return _run_detectron(wpath, args, smoke, "retinanet")
 
 
 def run_yolov3(wpath, args, smoke):
@@ -254,21 +259,21 @@ def main(argv=None):
             continue
         if name == "pose2seg" and not args.smoke and not args.ochuman_val \
                 and not args.coco_ann:
-            rows.append((name, None, f["expect"], "SKIP (no data)"))
+            rows.append((name, None, f["expect"], "SKIP (no data)", f["tol"]))
             continue
         print(f"\n===== {name} =====", flush=True)
         try:
             measured = RUNNERS[name](wpath, args, args.smoke)
-            rows.append((name, measured, f["expect"], f["note"]))
+            rows.append((name, measured, f["expect"], f["note"], f["tol"]))
         except Exception as e:
-            rows.append((name, None, f["expect"], f"FAILED: {e}"))
+            rows.append((name, None, f["expect"], f"FAILED: {e}", f["tol"]))
 
     print("\n" + "=" * 74)
     print(f"{'family':<22}{'metric':<7}{'measured':>9}{'expected':>9}"
           f"{'delta':>8}  note")
     print("-" * 74)
-    worst = 0.0
-    for name, measured, expect, note in rows:
+    breaches, worst = [], 0.0
+    for name, measured, expect, note, tol in rows:
         if measured is None:
             print(f"{name:<22}{'-':<7}{'-':>9}{'-':>9}{'-':>8}  {note}")
             continue
@@ -281,13 +286,19 @@ def main(argv=None):
                 d = val - exp
                 if not args.smoke:
                     worst = max(worst, abs(d))
+                    if abs(d) > tol:
+                        breaches.append(f"{name}.{metric} {d:+.2f} "
+                                        f"(tol {tol})")
                 print(f"{name:<22}{metric:<7}{val:>9.2f}{exp:>9.2f}"
                       f"{d:>+8.2f}  {note}")
     print("=" * 74)
     if not args.smoke:
-        verdict = "PASS" if worst <= 0.1 else "ATTENTION"
+        verdict = "PASS" if not breaches else "ATTENTION"
         print(f"worst |delta| = {worst:.2f} pt -> {verdict} "
-              "(north-star gate: <= 0.1 pt on exact-expected rows)")
+              "(per-row gate: |delta| <= row tolerance; approx-expected "
+              "rows carry looser tolerances)")
+        for b in breaches:
+            print(f"  breach: {b}")
     else:
         print("smoke mode: plumbing exercised; deltas not meaningful")
     return rows

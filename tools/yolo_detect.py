@@ -53,11 +53,9 @@ def main():
     valid = np.asarray(dets["valid"])[0]
 
     # undo letterbox: map from input_size coords back to original image
-    scale = args.img_size / max(h, w)
-    pad_x = (args.img_size - w * scale) / 2
-    pad_y = (args.img_size - h * scale) / 2
-    boxes[:, [0, 2]] = (boxes[:, [0, 2]] - pad_x) / scale
-    boxes[:, [1, 3]] = (boxes[:, [1, 3]] - pad_y) / scale
+    from tpuseg.engine.yolo_engine import unletterbox_boxes
+
+    boxes = unletterbox_boxes(boxes, h, w, args.img_size)
 
     n = int(valid.sum())
     print(f"{n} detections (conf > {args.conf_thres})")

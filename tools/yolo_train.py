@@ -31,7 +31,10 @@ def main():
     from tpuseg.utils.logging import MovingAverage
 
     cfg = Y.YoloV3Config(input_size=args.img_size)
-    dataset = CocoDetectionDataset(args.images, args.annotations)
+    # iscrowd regions must not become positive training targets (the
+    # reference YOLO label conversion drops crowd annotations entirely)
+    dataset = CocoDetectionDataset(args.images, args.annotations,
+                                   include_crowd=False)
     params = Y.init_params(jax.random.PRNGKey(0), cfg)
     if args.pretrained_backbone:
         from tpuseg.weights.darknet_io import load_darknet53_backbone

@@ -12,10 +12,16 @@ import numpy as np
 
 class AugmentConfig:
     def __init__(self, size=550, mean=(123.68, 116.78, 103.94),
-                 std=(58.40, 57.12, 57.38)):
+                 std=(58.40, 57.12, 57.38),
+                 discard_box_width=4 / 550, discard_box_height=4 / 550):
         self.size = size
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        # upstream Resize's post-resize discard thresholds, in absolute
+        # pixels of the resized image (yolact config.py discard_box_*:
+        # 4/550 px — drops degenerate boxes the crop clipped to ~zero)
+        self.discard_box_width = discard_box_width
+        self.discard_box_height = discard_box_height
 
 
 def photometric_distort(rng, img):
@@ -160,6 +166,17 @@ def ssd_augment(rng: np.random.Generator, img_rgb_u8: np.ndarray,
     boxes = boxes.astype(np.float32).copy()
     boxes[:, 0::2] /= w
     boxes[:, 1::2] /= h
+    # Resize's discard: drop boxes whose RESIZED extent is below the
+    # (tiny) absolute-pixel thresholds — reference augmentations.Resize
+    # keep = (w > discard_box_width) * (h > discard_box_height)
+    if len(boxes):
+        bw = (boxes[:, 2] - boxes[:, 0]) * cfg.size
+        bh = (boxes[:, 3] - boxes[:, 1]) * cfg.size
+        keep = (bw > cfg.discard_box_width) & (bh > cfg.discard_box_height)
+        boxes, classes = boxes[keep], classes[keep]
+        masks = masks[keep] if len(masks) else masks
+        if iscrowd is not None:
+            iscrowd = iscrowd[keep]
     img = (img - cfg.mean) / cfg.std
     if iscrowd is not None:
         return img.astype(np.float32), boxes, classes, masks, iscrowd

@@ -23,8 +23,19 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 
 def load_image_bgr(path: str) -> np.ndarray:
-    """Decode -> uint8 BGR HWC (detectron convention, README.md:307)."""
-    return np.ascontiguousarray(load_image_rgb(path)[:, :, ::-1])
+    """Decode -> uint8 BGR HWC (detectron convention, README.md:307).
+
+    cv2.imread already returns BGR — read it directly instead of flipping
+    to RGB and back (two full-image copies on the host decode path)."""
+    try:
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise IOError(f"cv2 failed to read {path}")
+        return img
+    except ImportError:  # pragma: no cover
+        return np.ascontiguousarray(load_image_rgb(path)[:, :, ::-1])
 
 
 def save_image_bgr(path: str, img_bgr: np.ndarray) -> None:

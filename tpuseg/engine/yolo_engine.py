@@ -8,6 +8,19 @@ import jax.numpy as jnp
 from tpuseg.models import yolov3 as Y
 
 
+def unletterbox_boxes(boxes: np.ndarray, h: int, w: int,
+                      input_size: int) -> np.ndarray:
+    """Map boxes from input_size letterbox coords to original-image px,
+    clipped to the image bounds (detect.py's undo-letterbox step)."""
+    scale = input_size / max(h, w)
+    pad_x = (input_size - w * scale) / 2
+    pad_y = (input_size - h * scale) / 2
+    out = boxes.copy()
+    out[:, 0::2] = np.clip((out[:, 0::2] - pad_x) / scale, 0, w)
+    out[:, 1::2] = np.clip((out[:, 1::2] - pad_y) / scale, 0, h)
+    return out
+
+
 class YoloPredictor:
     def __init__(self, cfg: Y.YoloV3Config | None = None, params=None,
                  weights: str | None = None, batch_size: int = 1,
@@ -48,14 +61,7 @@ class YoloPredictor:
 
     def unletterbox(self, boxes: np.ndarray, h: int, w: int) -> np.ndarray:
         """Map boxes from input_size letterbox coords to image px."""
-        s = self.cfg.input_size
-        scale = s / max(h, w)
-        pad_x = (s - w * scale) / 2
-        pad_y = (s - h * scale) / 2
-        out = boxes.copy()
-        out[:, 0::2] = np.clip((out[:, 0::2] - pad_x) / scale, 0, w)
-        out[:, 1::2] = np.clip((out[:, 1::2] - pad_y) / scale, 0, h)
-        return out
+        return unletterbox_boxes(boxes, h, w, self.cfg.input_size)
 
 
 def evaluate_coco_boxes(predictor: YoloPredictor, dataset, max_images=None,

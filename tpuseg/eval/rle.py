@@ -159,13 +159,15 @@ def poly_to_rle(poly_xy: np.ndarray, h: int, w: int) -> dict:
             d = np.arange(dx + 1)
             t = (dx - d) if flip else d
             u = t + xs
-            v = np.floor(ys + s * t + 0.5).astype(np.int64)
+            # v[m]=(int)(ys+s*t+.5): C truncation toward zero, like the
+            # vertex quantization above (differs from floor for negatives)
+            v = np.trunc(ys + s * t + 0.5).astype(np.int64)
         else:
             s = (xe - xs) / dy if dy > 0 else 0.0
             d = np.arange(dy + 1)
             t = (dy - d) if flip else d
             v = t + ys
-            u = np.floor(xs + s * t + 0.5).astype(np.int64)
+            u = np.trunc(xs + s * t + 0.5).astype(np.int64)
         us.append(u)
         vs.append(v)
     u = np.concatenate(us)
