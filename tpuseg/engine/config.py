@@ -42,11 +42,17 @@ class ConfigNode(dict):
             raise AttributeError(name) from e
 
     def __setattr__(self, name: str, value: Any) -> None:
-        if object.__getattribute__(self, "_frozen"):
-            raise AttributeError(f"config is frozen; cannot set {name}")
         self[name] = ConfigNode(value) if isinstance(value, dict) and not isinstance(
             value, ConfigNode
         ) else value
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        # ALL writes funnel through here (attribute sets, merges, item
+        # assignment) so freeze() guards every mutation path, like yacs —
+        # not just __setattr__
+        if getattr(self, "_frozen", False):
+            raise AttributeError(f"config is frozen; cannot set {name}")
+        super().__setitem__(name, value)
 
     # -- yacs surface --------------------------------------------------------
     def freeze(self) -> "ConfigNode":

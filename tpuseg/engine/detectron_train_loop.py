@@ -125,10 +125,15 @@ def do_train(dataset, cfg: M.MaskRCNNConfig | None = None, params=None,
     t_avg = MovingAverage(50)
     key = jax.random.PRNGKey(seed)
     it = 0
-    # bucket by orientation so each batch shares one canvas
+    if not ids:
+        raise ValueError("dataset has no images")
+    # bucket by orientation so each batch shares one canvas. Buckets
+    # persist across shuffle passes: resetting them every epoch would spin
+    # forever on datasets with fewer than ims_per_batch images of an
+    # orientation (partial buckets carry over and fill on a later pass)
+    buckets = {CANVAS_LANDSCAPE: [], CANVAS_PORTRAIT: []}
     while it < max_iter and (max_steps is None or it < max_steps):
         rng.shuffle(ids)
-        buckets = {CANVAS_LANDSCAPE: [], CANVAS_PORTRAIT: []}
         for iid in ids:
             info = dataset.coco.imgs[iid]
             canvas = (CANVAS_LANDSCAPE if info["width"] >= info["height"]

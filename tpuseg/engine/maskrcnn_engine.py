@@ -114,22 +114,19 @@ class MaskRCNNPredictor:
                         for k, v in out.items()}
 
             if self.n_devices > 1:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
+                from tpuseg.parallel.inference import ShardedInference
                 from tpuseg.parallel.mesh import make_mesh
 
-                mesh = make_mesh(self.n_devices)
-                self.params = jax.device_put(
-                    self.params, NamedSharding(mesh, P()))
                 # shard_map is REQUIRED here, not GSPMD jit-shardings: on
                 # TPU forward_inference contains pallas_call (RoIAlign /
                 # NMS kernels), which carries no SPMD partitioning rule —
                 # see tpuseg/parallel/inference.py. Each chip runs the
                 # kernels on its own batch shard.
-                inner = jax.shard_map(run, mesh=mesh,
-                                      in_specs=(P(), P("data"), P("data")),
-                                      out_specs=P("data"), check_vma=False)
-                return jax.jit(inner)
+                si = ShardedInference(run, self.params,
+                                      mesh=make_mesh(self.n_devices),
+                                      use_shard_map=True, n_batch_args=2)
+                self.params = si.params
+                return si._fn
             return jax.jit(run)
 
         self._make_run = make_run
@@ -296,7 +293,8 @@ def paste_mask_in_image(mask28: np.ndarray, box: np.ndarray, im_h: int,
 
     m = mask28.shape[0]
     padded = np.zeros((m + 2 * padding, m + 2 * padding), np.float32)
-    padded[padding:-padding, padding:-padding] = mask28
+    # padding=0 must be an identity copy ([0:-0] is an EMPTY slice)
+    padded[padding:padding + m, padding:padding + m] = mask28
     scale = (m + 2 * padding) / m
     # expand box by the same scale
     w_half = (box[2] - box[0]) * 0.5 * scale
@@ -362,9 +360,24 @@ def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
     t0 = time.perf_counter()
     n = 0
 
+    def load_bgr(iid):
+        img = dataset.load_image(iid)[:, :, ::-1]
+        info = dataset.coco.imgs[iid]
+        if img.shape[:2] != (info["height"], info["width"]):
+            # decode disagrees with the json metadata (e.g. EXIF rotation
+            # applied by cv2): annotations live in the metadata frame, so
+            # conform the pixels to it — otherwise the image lands in the
+            # wrong orientation bucket (canvas-shape assert) and its
+            # detections are scored in the wrong frame
+            import cv2
+
+            img = cv2.resize(img, (info["width"], info["height"]),
+                             interpolation=cv2.INTER_LINEAR)
+        return img
+
     def consume(batch_ids):
         nonlocal n
-        imgs = [dataset.load_image(i)[:, :, ::-1] for i in batch_ids]
+        imgs = [load_bgr(i) for i in batch_ids]
         if len(imgs) == 1:  # single-image path (also duck-typed oracles)
             preds_list = [predictor.run_on_bgr_image(imgs[0])]
         else:

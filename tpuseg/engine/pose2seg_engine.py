@@ -22,12 +22,18 @@ class Pose2SegPredictor:
                 params, self.cfg = load_pose2seg_weights(weights, self.cfg)
             else:
                 params = P2S.init_params(jax.random.PRNGKey(0), self.cfg)
-        self.params = jax.tree.map(jnp.asarray, params)
+        # dtype: bf16 casts params + image compute like the sibling
+        # predictors (yolact/maskrcnn/yolo engines); f32 is parity default
+        self.params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+                jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+            params)
         c = self.cfg
 
         @jax.jit
         def run(params, images, theta, inv_theta, valid, skel):
-            return P2S.forward(params, images, theta, inv_theta, valid, c,
+            return P2S.forward(params, images.astype(dtype), theta,
+                               inv_theta, valid, c,
                                skel_feats=skel if c.cat_skeleton else None)
 
         self._run = run
@@ -36,7 +42,7 @@ class Pose2SegPredictor:
         # per max_people chunk (forward_from_features docstring)
         @jax.jit
         def run_backbone(params, images):
-            return P2S.backbone_forward(params, images, c)
+            return P2S.backbone_forward(params, images.astype(dtype), c)
 
         @jax.jit
         def run_heads(params, feats, theta, inv_theta, valid, skel):

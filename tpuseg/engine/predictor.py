@@ -31,11 +31,15 @@ CATEGORIES = [
 
 
 class COCODemo:
-    def __init__(self, cfg=None, min_image_size: int = 800,
+    def __init__(self, cfg=None, min_image_size: int | None = None,
                  confidence_threshold: float = 0.7,
                  show_mask_heatmaps: bool = False, weights: str | None = None):
         # cfg may be a ConfigNode (merge_from_file path): dispatch on its
-        # META_ARCHITECTURE / CONV_BODY (FPN vs C4) and honor MODEL.WEIGHT
+        # META_ARCHITECTURE / CONV_BODY (FPN vs C4) and honor MODEL.WEIGHT.
+        # min_image_size=None (default) keeps the yaml's INPUT.MIN_SIZE_TEST
+        # — overriding only when the caller passes a value (demo
+        # predictor.py's --min-image-size flag semantics); unconditionally
+        # clobbering it would run e.g. a 480-tuned config at 800
         from tpuseg.engine.config import ConfigNode
         from tpuseg.engine.maskrcnn_engine import build_predictor_from_cfg
 
@@ -46,8 +50,10 @@ class COCODemo:
                 node.MODEL.WEIGHT = weights
             self.predictor = build_predictor_from_cfg(
                 node, confidence_threshold=confidence_threshold)
-            self.predictor.min_image_size = min_image_size
+            if min_image_size is not None:
+                self.predictor.min_image_size = min_image_size
         else:
+            min_image_size = min_image_size or 800
             if weights is None and cfg is not None:
                 try:
                     weights = cfg.MODEL.WEIGHT or None

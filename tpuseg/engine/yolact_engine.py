@@ -57,25 +57,20 @@ class YolactPredictor:
 
         self.n_devices = _resolve_devices(devices)
         if self.n_devices > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
+            from tpuseg.parallel.inference import ShardedInference
             from tpuseg.parallel.mesh import make_mesh
 
-            mesh = make_mesh(self.n_devices)
             assert batch_size % self.n_devices == 0, (
                 f"batch_size {batch_size} must divide across "
                 f"{self.n_devices} devices")
-            self.params = jax.device_put(
-                self.params, NamedSharding(mesh, P()))
             # shard_map, not GSPMD jit-shardings: the traditional-NMS
             # option routes through pallas_call on TPU, which carries no
-            # SPMD partitioning rule (see tpuseg/parallel/inference.py) —
-            # per-shard execution is the data-parallel semantics we want
-            # either way.
-            inner = jax.shard_map(_run, mesh=mesh,
-                                  in_specs=(P(), P("data")),
-                                  out_specs=P("data"), check_vma=False)
-            self._run = jax.jit(inner)
+            # SPMD partitioning rule (see tpuseg/parallel/inference.py)
+            si = ShardedInference(_run, self.params,
+                                  mesh=make_mesh(self.n_devices),
+                                  use_shard_map=True)
+            self.params = si.params
+            self._run = si._fn
         else:
             self._run = jax.jit(_run)
 
@@ -170,6 +165,7 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
         if getattr(dataset, "label_map", None) else {})
     loader = None
     prefetcher = None
+    pending = None
     if use_native_loader:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -190,39 +186,56 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
         # runs the current one (the input-side half of the north star's
         # fused preprocessing stage)
         pending = prefetcher.submit(load_chunk, chunks[0]) if chunks else None
-    for start in range(0, len(ids), bs):
-        chunk = ids[start:start + bs]
-        if loader is not None:
-            batch, metas = pending.result()
-            nxt = start // bs + 1
-            pending = (prefetcher.submit(load_chunk, chunks[nxt])
-                       if nxt < len(chunks) else None)
-        else:
-            imgs = []
-            metas = []
-            for iid in chunk:
-                img = dataset.load_image(iid)
-                metas.append((iid, img.shape[0], img.shape[1]))
-                imgs.append(resize_to_square(img, cfg.img_size))
-            batch = np.stack(imgs)
-        if len(chunk) < bs:
-            batch = np.pad(batch, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
-        t0 = time.perf_counter()
-        dets = predictor.run_batch(batch)
-        t_infer += time.perf_counter() - t0
-        for bi, (iid, h, w) in enumerate(metas):
-            det_i = {k: v[bi] for k, v in dets.items()}
-            final = predictor.postprocess_image(det_i, h, w, score_threshold)
-            gt = dataset.load_target(iid)
-            prep_metrics(ap_data, final, gt)
-            if coco_results is not None:
-                coco_results.extend(
-                    detections_to_coco_json(final, iid, label_map_inv))
-            n_done += 1
-        if progress:
-            print(f"\r{n_done}/{len(ids)} images "
-                  f"({n_done / max(t_infer, 1e-9):.1f} img/s device)",
-                  end="", flush=True)
+    try:
+        for start in range(0, len(ids), bs):
+            chunk = ids[start:start + bs]
+            if loader is not None:
+                batch, metas = pending.result()
+                nxt = start // bs + 1
+                pending = (prefetcher.submit(load_chunk, chunks[nxt])
+                           if nxt < len(chunks) else None)
+            else:
+                imgs = []
+                metas = []
+                for iid in chunk:
+                    img = dataset.load_image(iid)
+                    info = dataset.coco.imgs[iid]
+                    if img.shape[:2] != (info["height"], info["width"]):
+                        # EXIF-rotated decode: gt masks rasterize at the json
+                        # metadata dims, so conform the pixels to that frame
+                        # (else pred/gt mask shapes mismatch in prep_metrics)
+                        import cv2
+
+                        img = cv2.resize(img, (info["width"], info["height"]),
+                                         interpolation=cv2.INTER_LINEAR)
+                    metas.append((iid, img.shape[0], img.shape[1]))
+                    imgs.append(resize_to_square(img, cfg.img_size))
+                batch = np.stack(imgs)
+            if len(chunk) < bs:
+                batch = np.pad(batch, ((0, bs - len(chunk)), (0, 0), (0, 0), (0, 0)))
+            t0 = time.perf_counter()
+            dets = predictor.run_batch(batch)
+            t_infer += time.perf_counter() - t0
+            for bi, (iid, h, w) in enumerate(metas):
+                det_i = {k: v[bi] for k, v in dets.items()}
+                final = predictor.postprocess_image(det_i, h, w, score_threshold)
+                gt = dataset.load_target(iid)
+                prep_metrics(ap_data, final, gt)
+                if coco_results is not None:
+                    coco_results.extend(
+                        detections_to_coco_json(final, iid, label_map_inv))
+                n_done += 1
+            if progress:
+                print(f"\r{n_done}/{len(ids)} images "
+                      f"({n_done / max(t_infer, 1e-9):.1f} img/s device)",
+                      end="", flush=True)
+    finally:
+        # the prefetch pool must not leak a worker thread per
+        # evaluate_dataset call (long sessions eval many ckpts)
+        if prefetcher is not None:
+            if pending is not None:
+                pending.cancel()
+            prefetcher.shutdown(wait=False)
     if progress:
         print()
     all_maps = calc_map(ap_data, cfg.num_classes - 1)

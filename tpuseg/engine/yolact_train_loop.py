@@ -55,6 +55,11 @@ def batch_iterator(dataset, cfg, rng: np.random.Generator, batch_size: int,
     proto = sizes[0] * 2
     sem = sizes[0]
     ids = list(dataset.image_ids)
+    if len(ids) < batch_size:
+        # the range() below would yield nothing and the while-loop would
+        # reshuffle forever — fail loudly instead of hanging the trainer
+        raise ValueError(
+            f"dataset has {len(ids)} images < batch_size {batch_size}")
     while True:
         rng.shuffle(ids)
         for start in range(0, len(ids) - batch_size + 1, batch_size):

@@ -30,10 +30,14 @@ class ShardedInference:
     """Jits ``fn(params, *batch_args) -> pytree`` with batch-dim sharding.
 
     Batch args must have a leading batch axis divisible by the mesh's data
-    size. Params are replicated once at construction.
+    size. Params are replicated once at construction. This is the single
+    home of the multi-chip inference wiring — the YOLACT and Mask R-CNN
+    engines build on it rather than re-implementing the mesh/shard_map
+    plumbing.
     """
 
-    def __init__(self, fn, params, mesh=None, use_shard_map=False):
+    def __init__(self, fn, params, mesh=None, use_shard_map=False,
+                 n_batch_args: int = 1):
         self.mesh = mesh or make_mesh()
         self.data_size = self.mesh.shape["data"]
         batch_s = NamedSharding(self.mesh, P("data"))
@@ -41,15 +45,16 @@ class ShardedInference:
         self.params = jax.device_put(params, rep)
         if use_shard_map:
             inner = jax.shard_map(
-                fn, mesh=self.mesh, in_specs=(P(), P("data")),
+                fn, mesh=self.mesh,
+                in_specs=(P(),) + (P("data"),) * n_batch_args,
                 out_specs=P("data"), check_vma=False)
             self._fn = jax.jit(inner)
         else:
             self._fn = jax.jit(
                 fn,
-                in_shardings=(rep, batch_s),
+                in_shardings=(rep,) + (batch_s,) * n_batch_args,
                 out_shardings=batch_s,
             )
 
-    def __call__(self, batch):
-        return self._fn(self.params, batch)
+    def __call__(self, *batch_args):
+        return self._fn(self.params, *batch_args)
