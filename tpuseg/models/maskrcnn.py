@@ -151,7 +151,7 @@ def make_anchors_np(cfg: MaskRCNNConfig, canvas_h: int, canvas_w: int):
 # ---------------------------------------------------------------------------
 
 
-def rpn_head(params: dict, feats: list, num_anchors: int):
+def rpn_head(params: dict, feats: list):
     """Shared RPN head over levels -> per-level (objectness, deltas)."""
     logits, deltas = [], []
     for f in feats:
@@ -162,7 +162,7 @@ def rpn_head(params: dict, feats: list, num_anchors: int):
     return logits, deltas
 
 
-def box_head(params: dict, pooled: jax.Array, cfg: MaskRCNNConfig):
+def box_head(params: dict, pooled: jax.Array):
     """[N, 7, 7, C] -> (cls_logits [N, 81], box_deltas [N, 81*4])."""
     n = pooled.shape[0]
     x = pooled.reshape(n, -1)
@@ -198,6 +198,24 @@ def mask_head(params: dict, pooled: jax.Array, class_sel=None):
 # ---------------------------------------------------------------------------
 
 
+def anchor_inside_mask(image_hw: jax.Array, stride: int, hl: int, wl: int,
+                       num_anchors: int) -> jax.Array:
+    """[B, hl*wl*A] validity of anchors whose grid cell lies within the
+    real (unpadded) feature extent of each image — reproduces the
+    reference's per-image anchor grids on our static padded canvas.
+    Shared by RPN proposals and the RetinaNet inference + train paths."""
+    b = image_hw.shape[0]
+    gy = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
+    real_h = -(-image_hw[:, 0] // stride)  # ceil div, [B]
+    real_w = -(-image_hw[:, 1] // stride)
+    inside = (
+        (gy[None] < real_h[:, None, None])
+        & (gx[None] < real_w[:, None, None])
+    )  # [B, hl, wl]
+    return jnp.repeat(inside.reshape(b, -1), num_anchors, axis=1)
+
+
 def rpn_proposals(
     logits: list,
     deltas: list,
@@ -213,17 +231,7 @@ def rpn_proposals(
         stride = cfg.anchor_stride[li]
         hl, wl = fpn_level_hw(canvas_hw[0], canvas_hw[1], stride)
         a = an.shape[0] // (hl * wl)
-        # mask anchors whose grid position is outside the real feature extent
-        # (reproduces the reference's unpadded per-image anchor grid)
-        gy = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
-        real_h = -(-image_hw[:, 0] // stride)  # ceil div, [B]
-        real_w = -(-image_hw[:, 1] // stride)
-        inside = (
-            (gy[None] < real_h[:, None, None])
-            & (gx[None] < real_w[:, None, None])
-        )  # [B, hl, wl]
-        inside = jnp.repeat(inside.reshape(b, -1), a, axis=1)  # [B, hl*wl*A]
+        inside = anchor_inside_mask(image_hw, stride, hl, wl, a)
 
         k = min(cfg.rpn_pre_nms_top_n, lg.shape[1])
         obj = jax.nn.sigmoid(lg)
@@ -334,8 +342,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     sizes. -> dict of padded detections incl. 28x28 per-class masks."""
     b, ch, cw, _ = images.shape
     pyramid = backbone_fpn(params, images, cfg)
-    na = len(cfg.anchor_ratios)
-    logits, deltas = rpn_head(params["rpn"], pyramid, na)
+    logits, deltas = rpn_head(params["rpn"], pyramid)
     anchors = [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)]
     proposals, p_scores, p_valid = rpn_proposals(
         logits, deltas, anchors, image_hw, cfg, (ch, cw))
@@ -347,7 +354,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
         cfg.pooler_sampling_ratio)
-    cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
+    cls_logits, box_deltas = box_head(params["box_head"], pooled)
     scores = jax.nn.softmax(cls_logits, -1).reshape(b, p, cfg.num_classes)
     box_deltas = box_deltas.reshape(b, p, cfg.num_classes * 4)
 
@@ -439,8 +446,7 @@ def forward_train_losses(
         loss_cfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes)
     b, ch, cw, _ = images.shape
     pyramid = backbone_fpn(params, images, cfg)
-    na = len(cfg.anchor_ratios)
-    logits, deltas = rpn_head(params["rpn"], pyramid, na)
+    logits, deltas = rpn_head(params["rpn"], pyramid)
     anchors_l = [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)]
     anchors = jnp.concatenate(anchors_l, axis=0)
     all_logits = jnp.concatenate(
@@ -452,10 +458,18 @@ def forward_train_losses(
     gt_classes = targets["classes"]
     gt_valid = gt_classes >= 0
 
+    inside_l = []
+    for li, an in enumerate(anchors_l):
+        stride = cfg.anchor_stride[li]
+        hl, wl = fpn_level_hw(ch, cw, stride)
+        inside_l.append(anchor_inside_mask(
+            image_hw, stride, hl, wl, an.shape[0] // (hl * wl)))
+    inside = jnp.concatenate(inside_l, axis=1)  # [B, N]
+
     k_rpn, k_roi = jax.random.split(key)
     losses = ML.rpn_loss(
         all_logits, all_deltas, anchors, gt_boxes, gt_valid, k_rpn, loss_cfg,
-        image_hw=image_hw)
+        image_hw=image_hw, anchor_inside=inside)
 
     # train-time proposal budget (PRE_NMS_TOP_N_TRAIN / FPN_POST_..._TRAIN)
     from dataclasses import replace as _replace
@@ -486,7 +500,7 @@ def forward_train_losses(
     pooled = pooled_roi_features(
         pyramid[:4], flat_boxes, flat_bidx, cfg.pooler_resolution,
         cfg.pooler_sampling_ratio)
-    cls_logits, box_deltas = box_head(params["box_head"], pooled, cfg)
+    cls_logits, box_deltas = box_head(params["box_head"], pooled)
     flat_sample = {k_: v.reshape((b * s,) + v.shape[2:])
                    for k_, v in sample.items()}
     losses.update(ML.box_head_loss(

@@ -99,8 +99,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
                       cfg: MaskRCNNC4Config):
     b, ch, cw, _ = images.shape
     c4 = backbone_c4(params, images, cfg)
-    na = len(cfg.anchor_sizes) * len(cfg.anchor_ratios)
-    logits, deltas = M.rpn_head(params["rpn"], [c4], na)
+    logits, deltas = M.rpn_head(params["rpn"], [c4])
     anchors = jnp.asarray(make_anchors_np(cfg, ch, cw))
     # reuse the FPN proposal machinery with one level
     fpn_like = M.MaskRCNNConfig(
@@ -228,39 +227,15 @@ def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):
 
 def from_torch_state(flat: dict, cfg: MaskRCNNC4Config) -> dict:
     """maskrcnn-benchmark C4 checkpoint names -> param tree."""
-    from tpuseg.weights.detectron_map import _bn, _conv, _linear, _strip_module
+    from tpuseg.weights.detectron_map import (_conv, _linear, _strip_module,
+                                              map_resnet_body,
+                                              map_resnet_stage)
 
     flat = _strip_module(flat)
-    body = "backbone.body."
-    backbone = {"stem": {"conv": _conv(flat, body + "stem.conv1"),
-                         "bn": _bn(flat, body + "stem.bn1")}}
-
-    def stage(prefix, nblocks):
-        blocks = []
-        for bi in range(nblocks):
-            base = f"{prefix}.{bi}"
-            p = {
-                "conv1": _conv(flat, f"{base}.conv1"),
-                "bn1": _bn(flat, f"{base}.bn1"),
-                "conv2": _conv(flat, f"{base}.conv2"),
-                "bn2": _bn(flat, f"{base}.bn2"),
-                "conv3": _conv(flat, f"{base}.conv3"),
-                "bn3": _bn(flat, f"{base}.bn3"),
-                "downsample": None,
-                "conv2_offset": None,
-            }
-            if f"{base}.downsample.0.weight" in flat:
-                p["downsample"] = {
-                    "conv": _conv(flat, f"{base}.downsample.0"),
-                    "bn": _bn(flat, f"{base}.downsample.1"),
-                }
-            blocks.append(p)
-        return blocks
-
-    nb = resnet_nn.STAGE_BLOCKS[cfg.depth]
-    for si in range(3):
-        backbone[f"layer{si + 1}"] = stage(f"{body}layer{si + 1}", nb[si])
-    layer4 = stage("roi_heads.box.feature_extractor.head.layer4", nb[3])
+    # C4 body carries layer1-3 only; layer4 lives under the roi box head
+    backbone = map_resnet_body(flat, cfg.depth, stages=3)
+    layer4 = map_resnet_stage(flat, "roi_heads.box.feature_extractor.head.layer4",
+                              resnet_nn.STAGE_BLOCKS[cfg.depth][3])
     params = {
         "backbone": backbone,
         "roi_head": {"layer4": layer4},

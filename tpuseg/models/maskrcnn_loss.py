@@ -50,12 +50,22 @@ def match_targets(
     high: float,
     low: float,
     allow_low_quality: bool,
+    anchor_valid: jax.Array | None = None,  # [N] False = not in the matrix
 ):
     """Vectorized Matcher. Returns (matched_idx [N] in [0, G), match_label
-    [N] in {1 fg, 0 bg, -1 ignore})."""
+    [N] in {1 fg, 0 bg, -1 ignore}).
+
+    ``anchor_valid`` excludes anchors from the IoU matrix entirely — for
+    padded-canvas anchors that do not exist in the reference's per-image
+    anchor grids. Unlike the post-matching straddle/visibility mask
+    (which reproduces upstream's discard_cases AFTER low-quality forcing),
+    an excluded anchor can neither match nor absorb a gt's forced best —
+    the forcing falls to the best real anchor, as upstream."""
     iou = box_ops.iou_matrix(gt_boxes, anchors, to_remove=1.0)  # [G, N]
     # (+1 extents: maskrcnn-benchmark boxlist_iou TO_REMOVE=1)
     iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    if anchor_valid is not None:
+        iou = jnp.where(anchor_valid[None, :], iou, -1.0)
     best = jnp.max(iou, axis=0)
     best_idx = jnp.argmax(iou, axis=0)
     label = jnp.where(best >= high, 1, jnp.where(best < low, 0, -1))
@@ -99,8 +109,13 @@ def balanced_sample(
     sel_idx = jnp.concatenate([pos_idx, neg_idx])
     sel_pos = jnp.concatenate([pos_valid, jnp.zeros_like(neg_keep)])
     sel_valid = jnp.concatenate([pos_valid, neg_keep])
-    # compact to [batch_size + cap] is fine; callers weight by sel_valid
-    return sel_idx, sel_pos, sel_valid
+    # compact to EXACTLY batch_size slots (valid entries number at most
+    # batch_size by construction; stable sort keeps positives first).
+    # The earlier [batch_size + cap] form made every downstream roi
+    # consumer — RoIAlign, box head, mask head — process 25% more rois
+    # per train step than the reference's 512.
+    order = jnp.argsort(jnp.logical_not(sel_valid), stable=True)[:batch_size]
+    return sel_idx[order], sel_pos[order], sel_valid[order]
 
 
 def smooth_l1(x, t, beta: float = 1.0):
@@ -117,6 +132,7 @@ def rpn_loss(
     key: jax.Array,
     cfg: MaskRCNNLossConfig,
     image_hw: jax.Array | None = None,  # [B, 2] real (h, w) on the canvas
+    anchor_inside: jax.Array | None = None,  # [B, N] in real feature extent
 ):
     """rpn/loss.py RPNLossComputation: sampled BCE + smooth-L1(1/9).
 
@@ -125,12 +141,18 @@ def rpn_loss(
     this also excludes every anchor over the zero-padded canvas region,
     which doesn't exist upstream (anchors there are straddling by
     construction since the real image occupies the canvas's top-left).
+    ``anchor_inside`` additionally removes padded-canvas anchors from the
+    match matrix itself: upstream's per-image grids never contain them, so
+    they must not absorb a gt's low-quality forcing away from a real
+    anchor (straddling-but-real anchors DO absorb it upstream — matching
+    precedes the visibility discard — hence two separate masks).
     """
     b = objectness.shape[0]
 
-    def per_image(obj, dl, gtb, gtv, hw, k):
+    def per_image(obj, dl, gtb, gtv, hw, ins, k):
         midx, label = match_targets(
-            gtb, gtv, anchors, cfg.rpn_fg_iou, cfg.rpn_bg_iou, True)
+            gtb, gtv, anchors, cfg.rpn_fg_iou, cfg.rpn_bg_iou, True,
+            anchor_valid=ins)
         if hw is not None:
             h = hw[0].astype(anchors.dtype)
             w = hw[1].astype(anchors.dtype)
@@ -157,11 +179,16 @@ def rpn_loss(
     keys = jax.random.split(key, b)
     if image_hw is None:
         box_l, obj_l, n_sampled = jax.vmap(
-            lambda o, d, gb, gv, k: per_image(o, d, gb, gv, None, k)
+            lambda o, d, gb, gv, k: per_image(o, d, gb, gv, None, None, k)
         )(objectness, deltas, gt_boxes, gt_valid, keys)
+    elif anchor_inside is None:
+        box_l, obj_l, n_sampled = jax.vmap(
+            lambda o, d, gb, gv, hw, k: per_image(o, d, gb, gv, hw, None, k)
+        )(objectness, deltas, gt_boxes, gt_valid, image_hw, keys)
     else:
         box_l, obj_l, n_sampled = jax.vmap(per_image)(
-            objectness, deltas, gt_boxes, gt_valid, image_hw, keys)
+            objectness, deltas, gt_boxes, gt_valid, image_hw, anchor_inside,
+            keys)
     total = jnp.maximum(jnp.sum(n_sampled), 1.0)
     return {
         "loss_rpn_box_reg": jnp.sum(box_l) / total,

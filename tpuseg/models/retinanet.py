@@ -166,13 +166,7 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
         stride = cfg.anchor_stride[li]
         hl, wl = M.fpn_level_hw(ch, cw, stride)
         # mask anchor cells beyond the real (unpadded) feature extent
-        gy = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (hl, wl), 1)
-        real_h = -(-image_hw[:, 0] // stride)
-        real_w = -(-image_hw[:, 1] // stride)
-        inside = ((gy[None] < real_h[:, None, None])
-                  & (gx[None] < real_w[:, None, None]))  # [B, hl, wl]
-        inside = jnp.repeat(inside.reshape(b, -1), a_per_cell, axis=1)
+        inside = M.anchor_inside_mask(image_hw, stride, hl, wl, a_per_cell)
 
         lg = lg.astype(jnp.float32)
         scores = jax.nn.sigmoid(lg)  # [B, N, nc]
@@ -249,24 +243,41 @@ def forward_train_losses(params: dict, images: jax.Array,
     b, ch, cw, _ = images.shape
     feats = backbone_p3p7(params, images, cfg)
     logits, deltas = head_forward(params, feats, cfg)
-    anchors = jnp.concatenate(
-        [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)], axis=0)
+    per_level = [jnp.asarray(a) for a in make_anchors_np(cfg, ch, cw)]
+    anchors = jnp.concatenate(per_level, axis=0)
     all_logits = jnp.concatenate(
         [l.astype(jnp.float32) for l in logits], axis=1)
     all_deltas = jnp.concatenate(
         [d.astype(jnp.float32) for d in deltas], axis=1)
 
+    # anchors whose grid position lies beyond the real (unpadded) feature
+    # extent do not exist in the reference (per-image anchor grids) — they
+    # must contribute neither background focal terms nor positives, else
+    # the loss depends on the static canvas choice. Same masking as
+    # rpn_proposals / the inference path.
+    inside_lvls = []
+    for li, an in enumerate(per_level):
+        stride = cfg.anchor_stride[li]
+        hl, wl = M.fpn_level_hw(ch, cw, stride)
+        a_per = an.shape[0] // (hl * wl)
+        inside_lvls.append(M.anchor_inside_mask(image_hw, stride, hl, wl,
+                                                a_per))
+    inside = jnp.concatenate(inside_lvls, axis=1)  # [B, A]
+
     gt_boxes = targets["boxes"]
     gt_classes = targets["classes"]  # 0-based fg ids, -1 pad
     gt_valid = gt_classes >= 0
 
-    def per_image(lg, dl, gtb, gtc, gtv):
+    def per_image(lg, dl, gtb, gtc, gtv, ins):
         midx, label = match_targets(
-            gtb, gtv, anchors, cfg.fg_iou, cfg.bg_iou, True)
+            gtb, gtv, anchors, cfg.fg_iou, cfg.bg_iou, True,
+            anchor_valid=ins)
         # focal targets: 0 bg, 1..nc-1 fg class, <0 ignore (between
-        # thresholds)
+        # thresholds; padded-canvas anchors forced to ignore)
         cls_t = jnp.where(label == 1, gtc[midx] + 1,
                           jnp.where(label == 0, 0, -1))
+        cls_t = jnp.where(ins, cls_t, -1)
+        label = jnp.where(ins, label, -1)
         cls_l = jnp.sum(sigmoid_focal_loss(
             lg, cls_t, gamma=cfg.focal_gamma, alpha=cfg.focal_alpha))
         pos = label == 1
@@ -277,7 +288,7 @@ def forward_train_losses(params: dict, images: jax.Array,
         return cls_l, reg_l, jnp.sum(pos)
 
     cls_l, reg_l, n_pos = jax.vmap(per_image)(
-        all_logits, all_deltas, gt_boxes, gt_classes, gt_valid)
+        all_logits, all_deltas, gt_boxes, gt_classes, gt_valid, inside)
     num_pos = jnp.sum(n_pos)
     losses = {
         "loss_retina_cls": jnp.sum(cls_l) / (num_pos + b),
@@ -338,33 +349,11 @@ def from_torch_state(flat: dict, cfg: RetinaNetConfig) -> dict:
     fpn_layer{2,3,4} / top_blocks.{p6,p7}, rpn.head.cls_tower.{0,2,4,6} /
     bbox_tower.{0,2,4,6} / cls_logits / bbox_pred.
     """
-    from tpuseg.weights.detectron_map import (STAGE_BLOCKS, _bn, _conv,
-                                              _strip_module)
+    from tpuseg.weights.detectron_map import (_conv, _strip_module,
+                                              map_resnet_body)
 
     flat = _strip_module(flat)
-    body = "backbone.body."
-    backbone = {"stem": {"conv": _conv(flat, body + "stem.conv1"),
-                         "bn": _bn(flat, body + "stem.bn1")}}
-    for si, nblocks in enumerate(STAGE_BLOCKS[cfg.depth]):
-        blocks = []
-        for bi in range(nblocks):
-            base = f"{body}layer{si + 1}.{bi}"
-            p = {
-                "conv1": _conv(flat, f"{base}.conv1"),
-                "bn1": _bn(flat, f"{base}.bn1"),
-                "conv2": _conv(flat, f"{base}.conv2"),
-                "bn2": _bn(flat, f"{base}.bn2"),
-                "conv3": _conv(flat, f"{base}.conv3"),
-                "bn3": _bn(flat, f"{base}.bn3"),
-                "downsample": None,
-            }
-            if f"{base}.downsample.0.weight" in flat:
-                p["downsample"] = {
-                    "conv": _conv(flat, f"{base}.downsample.0"),
-                    "bn": _bn(flat, f"{base}.downsample.1"),
-                }
-            blocks.append(p)
-        backbone[f"layer{si + 1}"] = blocks
+    backbone = map_resnet_body(flat, cfg.depth)
     return {
         "backbone": backbone,
         "fpn": {

@@ -163,7 +163,6 @@ def _prediction_head(params: dict, x: jax.Array, cfg: YolactConfig):
     """
     b = x.shape[0]
     x = L.relu(L.conv2d(x, params["upfeature"], padding=1))
-    na = cfg.num_anchors
     loc = L.conv2d(x, params["bbox"], padding=1).reshape(b, -1, 4)
     conf = L.conv2d(x, params["conf"], padding=1).reshape(b, -1, cfg.num_classes)
     coeff = jnp.tanh(

@@ -74,8 +74,12 @@ def build_targets(
         tconf = jnp.zeros((n + 1,), jnp.float32).at[lin_safe].set(1.0)[:n]
         aw = anchors_all[best_anchor][:, 0]
         ah = anchors_all[best_anchor][:, 1]
-        tx = gx - jnp.floor(gx)
-        ty = gy - jnp.floor(gy)
+        # offset relative to the CLAMPED cell: a gt centered exactly on the
+        # right/bottom image edge (gx == w) lands in cell w-1 with target
+        # offset 1.0 — `gx - floor(gx)` would give 0.0 there and train the
+        # center a full stride to the left
+        tx = gx - ci.astype(gx.dtype)
+        ty = gy - cj.astype(gy.dtype)
         tw = jnp.log(jnp.maximum(wh[:, 0] / jnp.maximum(aw, 1e-9), 1e-9))
         th = jnp.log(jnp.maximum(wh[:, 1] / jnp.maximum(ah, 1e-9), 1e-9))
         vals = jnp.stack([tx, ty, tw, th], -1)

@@ -594,7 +594,12 @@ def affine_align(
     n = theta.shape[1]
     grid = affine_grid(
         theta.reshape(b * n, 2, 3), out_size, out_size, align_corners
-    )
-    feats_rep = jnp.repeat(features, n, axis=0)
-    out = grid_sample(feats_rep, grid, align_corners)
-    return out.reshape(b, n, out_size, out_size, c)
+    ).reshape(b, n, out_size, out_size, 2)
+    # vmap over the person axis with the feature map SHARED: an explicit
+    # jnp.repeat(features, n) would materialize an N-fold copy of the map
+    # in HBM (256 MB/image at Pose2Seg's 512 canvas, max_people=16) just
+    # to bilinear-sample N small crops — broadcasting through vmap lets
+    # XLA gather/contract from the single copy
+    out = jax.vmap(lambda g: grid_sample(features, g, align_corners),
+                   in_axes=1, out_axes=1)(grid)
+    return out  # [B, N, out, out, C]

@@ -59,31 +59,49 @@ def _bn(flat, name):
     }
 
 
-def from_torch_state(flat: dict, cfg: MaskRCNNConfig) -> dict:
-    flat = _strip_module(flat)
-    body = "backbone.body."
+def map_resnet_stage(flat: dict, prefix: str, nblocks: int) -> list:
+    """``layer{i}.{b}.conv/bn/downsample`` name mapping for one ResNet
+    stage — the single copy shared by the Mask R-CNN FPN, C4, and
+    RetinaNet converters (each previously carried its own)."""
+    blocks = []
+    for bi in range(nblocks):
+        base = f"{prefix}.{bi}"
+        p = {
+            "conv1": _conv(flat, f"{base}.conv1"),
+            "bn1": _bn(flat, f"{base}.bn1"),
+            "conv2": _conv(flat, f"{base}.conv2"),
+            "bn2": _bn(flat, f"{base}.bn2"),
+            "conv3": _conv(flat, f"{base}.conv3"),
+            "bn3": _bn(flat, f"{base}.bn3"),
+            "downsample": None,
+            # detectron checkpoints carry no DCN; the key keeps the tree
+            # structurally identical to resnet.init_params
+            "conv2_offset": None,
+        }
+        if f"{base}.downsample.0.weight" in flat:
+            p["downsample"] = {
+                "conv": _conv(flat, f"{base}.downsample.0"),
+                "bn": _bn(flat, f"{base}.downsample.1"),
+            }
+        blocks.append(p)
+    return blocks
+
+
+def map_resnet_body(flat: dict, depth: int, body: str = "backbone.body.",
+                    stages: int = 4) -> dict:
+    """stem + layer1..layerN mapping shared by the detectron-family
+    converters."""
     backbone = {"stem": {"conv": _conv(flat, body + "stem.conv1"),
                          "bn": _bn(flat, body + "stem.bn1")}}
-    for si, nblocks in enumerate(STAGE_BLOCKS[cfg.depth]):
-        blocks = []
-        for bi in range(nblocks):
-            base = f"{body}layer{si + 1}.{bi}"
-            p = {
-                "conv1": _conv(flat, f"{base}.conv1"),
-                "bn1": _bn(flat, f"{base}.bn1"),
-                "conv2": _conv(flat, f"{base}.conv2"),
-                "bn2": _bn(flat, f"{base}.bn2"),
-                "conv3": _conv(flat, f"{base}.conv3"),
-                "bn3": _bn(flat, f"{base}.bn3"),
-                "downsample": None,
-            }
-            if f"{base}.downsample.0.weight" in flat:
-                p["downsample"] = {
-                    "conv": _conv(flat, f"{base}.downsample.0"),
-                    "bn": _bn(flat, f"{base}.downsample.1"),
-                }
-            blocks.append(p)
-        backbone[f"layer{si + 1}"] = blocks
+    for si in range(stages):
+        backbone[f"layer{si + 1}"] = map_resnet_stage(
+            flat, f"{body}layer{si + 1}", STAGE_BLOCKS[depth][si])
+    return backbone
+
+
+def from_torch_state(flat: dict, cfg: MaskRCNNConfig) -> dict:
+    flat = _strip_module(flat)
+    backbone = map_resnet_body(flat, cfg.depth)
 
     fpn = {
         "inner": [_conv(flat, f"backbone.fpn.fpn_inner{i}") for i in range(1, 5)],
