@@ -53,7 +53,10 @@ class CocoDetectionDataset:
     def load_image(self, image_id: int) -> np.ndarray:
         from tpuseg.data.image_io import load_image_rgb
 
-        return load_image_rgb(self.image_path(image_id))
+        # annotation frame: gt polygons rasterize at the json dims, which
+        # are the raw (EXIF-ignored) pixel dims — see image_io._cv2_flags
+        return load_image_rgb(self.image_path(image_id),
+                              ignore_orientation=True)
 
     def load_target(self, image_id: int, with_masks: bool = True) -> dict:
         """-> {boxes [N,4] xyxy px, classes [N] 0-based, masks [N,H,W] u8,

@@ -118,42 +118,16 @@ class NativeImageLoader:
     def is_native(self) -> bool:
         return self._native
 
-    def _exif_orientation(self, path: str) -> int:
-        """EXIF Orientation tag (1 = upright) via a header-only PIL open.
-
-        The C++ decoder emits raw libjpeg pixels; cv2.imread (the
-        reference's reader and our fallback) auto-applies orientation, so
-        rotated files must not silently take the native fast path —
-        detections would be scored against rotated-frame annotations.
-        Cached per path: the header re-open would otherwise dominate the
-        pipelined decode loop on a weak host."""
-        cache = getattr(self, "_exif_cache", None)
-        if cache is None:
-            cache = self._exif_cache = {}
-        o = cache.get(path)
-        if o is None:
-            try:
-                from PIL import Image
-
-                with Image.open(path) as im:
-                    o = int(im.getexif().get(0x0112, 1))
-            except ImportError:
-                # PIL absent (it is not a declared dependency): parse the
-                # JPEG APP1/TIFF header directly — silently assuming
-                # orientation 1 here would defeat this guard's purpose
-                o = _jpeg_exif_orientation(path)
-            except Exception:
-                o = 1
-            cache[path] = o
-        return o
-
     def load_batch(self, paths: list[str], out_h: int, out_w: int,
                    keep_aspect: bool = False):
+        """Both paths decode in the annotation frame (raw pixels, EXIF
+        orientation ignored): the C++ decoder emits raw libjpeg pixels and
+        the cv2 fallback passes IMREAD_IGNORE_ORIENTATION, so gt masks
+        rasterized at the COCO json dims always match the decoded frame."""
         n = len(paths)
         out = np.empty((n, out_h, out_w, 3), np.uint8)
         hw = np.empty((n, 2), np.int32)
-        if self._native and all(
-                self._exif_orientation(p) == 1 for p in paths):
+        if self._native:
             arr = (ctypes.c_char_p * n)(
                 *[p.encode() for p in paths])
             rc = self._lib.nl_load_batch(
@@ -171,8 +145,8 @@ class NativeImageLoader:
             warnings.warn(f"native decode failed for {paths[rc - 1]}; "
                           "falling back to cv2 for this batch")
 
-        # fallback: cv2 threads (also taken by native builds when a batch
-        # contains EXIF-rotated files -> create the pool lazily)
+        # fallback: cv2 threads (created lazily for native builds, which
+        # only land here on a decode failure)
         if not hasattr(self, "_pool"):
             from concurrent.futures import ThreadPoolExecutor
 
@@ -182,7 +156,7 @@ class NativeImageLoader:
         def one(i):
             from tpuseg.data.image_io import load_image_rgb
 
-            img = load_image_rgb(paths[i])
+            img = load_image_rgb(paths[i], ignore_orientation=True)
             hw[i] = img.shape[:2]
             if keep_aspect:
                 s = min(out_w / img.shape[1], out_h / img.shape[0])

@@ -47,12 +47,54 @@ class ConfigNode(dict):
         ) else value
 
     def __setitem__(self, name: str, value: Any) -> None:
-        # ALL writes funnel through here (attribute sets, merges, item
-        # assignment) so freeze() guards every mutation path, like yacs —
-        # not just __setattr__
+        # Attribute sets, merges, and item assignment funnel through here;
+        # the remaining dict mutators are guarded individually below.
         if getattr(self, "_frozen", False):
             raise AttributeError(f"config is frozen; cannot set {name}")
         super().__setitem__(name, value)
+
+    def _guard_frozen(self) -> None:
+        if getattr(self, "_frozen", False):
+            raise AttributeError("config is frozen; cannot mutate")
+
+    def __delitem__(self, name: str) -> None:
+        self._guard_frozen()
+        super().__delitem__(name)
+
+    def update(self, *args, **kwargs) -> None:  # type: ignore[override]
+        self._guard_frozen()
+        super().update(*args, **kwargs)
+
+    def pop(self, *args):  # type: ignore[override]
+        self._guard_frozen()
+        return super().pop(*args)
+
+    def popitem(self):  # type: ignore[override]
+        self._guard_frozen()
+        return super().popitem()
+
+    def clear(self) -> None:  # type: ignore[override]
+        self._guard_frozen()
+        super().clear()
+
+    def setdefault(self, key, default=None):  # type: ignore[override]
+        if key not in self:
+            self._guard_frozen()
+        return super().setdefault(key, default)
+
+    # -- copy/pickle protocol -------------------------------------------------
+    # deepcopy/pickle must bypass the frozen guard: copy._reconstruct restores
+    # the _frozen state before re-inserting dict items, which would raise.
+    def __deepcopy__(self, memo: dict) -> "ConfigNode":
+        new = ConfigNode()
+        memo[id(self)] = new
+        for k, v in self.items():
+            dict.__setitem__(new, k, copy.deepcopy(v, memo))
+        object.__setattr__(new, "_frozen", self._frozen)
+        return new
+
+    def __reduce__(self):
+        return (_reconstruct_config_node, (dict(self), self._frozen))
 
     # -- yacs surface --------------------------------------------------------
     def freeze(self) -> "ConfigNode":
@@ -123,6 +165,14 @@ class ConfigNode(dict):
 
     def dump(self) -> str:
         return yaml.safe_dump(self._to_dict(), sort_keys=False)
+
+
+def _reconstruct_config_node(items: dict, frozen: bool) -> ConfigNode:
+    node = ConfigNode()
+    for k, v in items.items():
+        dict.__setitem__(node, k, v)
+    object.__setattr__(node, "_frozen", frozen)
+    return node
 
 
 _REGISTRY: dict[str, ConfigNode] = {}

@@ -201,9 +201,10 @@ def evaluate_dataset(predictor: YolactPredictor, dataset, max_images=None,
                     img = dataset.load_image(iid)
                     info = dataset.coco.imgs[iid]
                     if img.shape[:2] != (info["height"], info["width"]):
-                        # EXIF-rotated decode: gt masks rasterize at the json
-                        # metadata dims, so conform the pixels to that frame
-                        # (else pred/gt mask shapes mismatch in prep_metrics)
+                        # load_image decodes in the annotation frame (EXIF
+                        # ignored), so a mismatch here means the json
+                        # metadata itself is wrong; conform the pixels so
+                        # prep_metrics' pred/gt shapes still agree
                         import cv2
 
                         img = cv2.resize(img, (info["width"], info["height"]),
