@@ -153,3 +153,81 @@ def test_fpn_post_nms_per_batch_gate(rng):
     _, _, val_i = M.rpn_proposals(logits, deltas, anchors, hw, cfg, canvas)
     assert int(val_i.sum()) == 8 * b
     assert int(val_b.sum()) == 8
+
+
+def test_c4_forward_train_losses(rng):
+    """C4 training path (VERDICT r3 item 1): the five reference losses are
+    finite, and gradients reach the shared res5 extractor, the mask
+    predictor, and the RPN head."""
+    from tpuseg.models import maskrcnn_c4 as C4
+
+    cfg = C4.MaskRCNNC4Config(
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=32,
+        rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=32,
+        detections_per_img=8, pre_final_nms_topk=64, num_classes=5)
+    lcfg = ML.MaskRCNNLossConfig(
+        num_classes=5, rpn_batch_per_image=32, roi_batch_per_image=16,
+        gt_mask_crop=32, mask_size=cfg.mask_out)
+    params = C4.init_params(jax.random.PRNGKey(0), cfg)
+    b, g = 2, 6
+    images = jnp.asarray(rng.standard_normal((b, 128, 192, 3)).astype(np.float32))
+    hw = jnp.asarray([[128, 192], [100, 150]], jnp.int32)
+    xy = rng.uniform(0, 80, (b, g, 2)).astype(np.float32)
+    wh = rng.uniform(20, 60, (b, g, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    classes = rng.integers(0, 4, (b, g)).astype(np.int32)
+    classes[:, 4:] = -1
+    targets = {
+        "boxes": jnp.asarray(boxes),
+        "classes": jnp.asarray(classes),
+        "mask_crops": jnp.asarray(
+            (rng.uniform(size=(b, g, 32, 32)) > 0.5).astype(np.float32)),
+    }
+    losses = jax.jit(
+        lambda p, im, hw, t, k: C4.forward_train_losses(
+            p, im, hw, t, k, cfg, lcfg)
+    )(params, images, hw, targets, jax.random.PRNGKey(1))
+    for k in ("loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+              "loss_box_reg", "loss_mask", "total"):
+        v = float(losses[k])
+        assert np.isfinite(v) and v >= 0, f"{k}={v}"
+    grads = jax.grad(
+        lambda p: C4.forward_train_losses(
+            p, images, hw, targets, jax.random.PRNGKey(1), cfg, lcfg)["total"]
+    )(params)
+
+    def gsum(tree):
+        return sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(tree))
+
+    assert gsum(grads["roi_head"]["layer4"]) > 0  # shared res5 trains
+    assert gsum(grads["mask_pred"]) > 0
+    assert gsum(grads["rpn"]) > 0
+    assert np.isfinite(gsum(grads))
+
+
+def test_c4_faster_rcnn_train_losses(rng):
+    """mask_on=False (e2e_faster_rcnn_R_50_C4): no mask loss, still steps."""
+    from tpuseg.models import maskrcnn_c4 as C4
+
+    cfg = C4.MaskRCNNC4Config(
+        rpn_pre_nms_top_n=64, rpn_post_nms_top_n=32,
+        rpn_pre_nms_top_n_train=64, rpn_post_nms_top_n_train=32,
+        detections_per_img=8, pre_final_nms_topk=64, num_classes=5,
+        mask_on=False)
+    lcfg = ML.MaskRCNNLossConfig(
+        num_classes=5, rpn_batch_per_image=32, roi_batch_per_image=16)
+    params = C4.init_params(jax.random.PRNGKey(0), cfg)
+    b, g = 1, 4
+    images = jnp.asarray(rng.standard_normal((b, 128, 128, 3)).astype(np.float32))
+    hw = jnp.asarray([[128, 128]], jnp.int32)
+    xy = rng.uniform(0, 60, (b, g, 2)).astype(np.float32)
+    wh = rng.uniform(20, 50, (b, g, 2)).astype(np.float32)
+    targets = {
+        "boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1)),
+        "classes": jnp.asarray(rng.integers(0, 4, (b, g)).astype(np.int32)),
+        "mask_crops": jnp.zeros((b, g, 32, 32), jnp.float32),
+    }
+    losses = C4.forward_train_losses(
+        params, images, hw, targets, jax.random.PRNGKey(1), cfg, lcfg)
+    assert "loss_mask" not in losses
+    assert np.isfinite(float(losses["total"]))

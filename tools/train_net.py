@@ -58,9 +58,6 @@ def main():
     from tpuseg.engine.maskrcnn_engine import model_config_from_node
 
     variant, mcfg = model_config_from_node(cfg)
-    assert variant in ("fpn", "retinanet"), (
-        f"train_net supports the FPN GeneralizedRCNN family and RetinaNet; "
-        f"got {variant}")
     train_kw = {}
     if variant == "retinanet":
         from tpuseg.models import retinanet as RN
@@ -69,6 +66,14 @@ def main():
             "forward_losses": lambda p, im, hw, t, key:
                 RN.forward_train_losses(p, im, hw, t, mcfg),
             "init_params_fn": RN.init_params,
+        }
+    elif variant == "c4":
+        from tpuseg.models import maskrcnn_c4 as C4
+
+        train_kw = {
+            "forward_losses": lambda p, im, hw, t, key:
+                C4.forward_train_losses(p, im, hw, t, key, mcfg),
+            "init_params_fn": lambda key, _cfg=None: C4.init_params(key, mcfg),
         }
     params = None
     if cfg.MODEL.WEIGHT:

@@ -253,6 +253,10 @@ def model_config_from_node(node):
             depth=depth,
             rpn_pre_nms_top_n=int(get("MODEL.RPN.PRE_NMS_TOP_N_TEST", 6000)),
             rpn_post_nms_top_n=int(get("MODEL.RPN.POST_NMS_TOP_N_TEST", 1000)),
+            rpn_pre_nms_top_n_train=int(
+                get("MODEL.RPN.PRE_NMS_TOP_N_TRAIN", 12000)),
+            rpn_post_nms_top_n_train=int(
+                get("MODEL.RPN.POST_NMS_TOP_N_TRAIN", 2000)),
             pooler_sampling_ratio=int(
                 get("MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO", 0)),
             num_classes=num_classes,
@@ -364,11 +368,10 @@ def evaluate_coco(predictor: MaskRCNNPredictor, dataset, max_images=None,
         img = dataset.load_image(iid)[:, :, ::-1]
         info = dataset.coco.imgs[iid]
         if img.shape[:2] != (info["height"], info["width"]):
-            # decode disagrees with the json metadata (e.g. EXIF rotation
-            # applied by cv2): annotations live in the metadata frame, so
-            # conform the pixels to it — otherwise the image lands in the
-            # wrong orientation bucket (canvas-shape assert) and its
-            # detections are scored in the wrong frame
+            # load_image decodes in the annotation frame (EXIF ignored), so
+            # a mismatch means the json metadata itself is wrong; conform
+            # the pixels so the image lands in the right orientation bucket
+            # (canvas-shape assert) and scores in the annotation frame
             import cv2
 
             img = cv2.resize(img, (info["width"], info["height"]),

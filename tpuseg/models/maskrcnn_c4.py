@@ -34,6 +34,10 @@ class MaskRCNNC4Config:
     anchor_stride: int = 16
     rpn_pre_nms_top_n: int = 6000  # README.md:267
     rpn_post_nms_top_n: int = 1000  # README.md:268
+    # C4 train-time RPN budgets (maskrcnn-benchmark defaults.py — the C4
+    # yamls don't override them, unlike the FPN 2000/2000)
+    rpn_pre_nms_top_n_train: int = 12000
+    rpn_post_nms_top_n_train: int = 2000
     rpn_nms_thresh: float = 0.7
     num_classes: int = 81
     pooler_resolution: int = 14
@@ -95,6 +99,23 @@ def res5_head(params: dict, pooled: jax.Array, cfg: MaskRCNNC4Config):
     return x
 
 
+def _single_level_cfg(cfg: MaskRCNNC4Config, train: bool = False):
+    """FPN-shaped config so the C4 path reuses M.rpn_proposals with one
+    level. Train mode swaps in the 12000/2000 C4 train budgets."""
+    pre = cfg.rpn_pre_nms_top_n_train if train else cfg.rpn_pre_nms_top_n
+    post = cfg.rpn_post_nms_top_n_train if train else cfg.rpn_post_nms_top_n
+    return M.MaskRCNNConfig(
+        rpn_pre_nms_top_n=pre,
+        rpn_post_nms_top_n=post,
+        rpn_nms_thresh=cfg.rpn_nms_thresh,
+        fpn_post_nms_top_n=post,
+        fpn_post_nms_per_batch=False,
+        anchor_stride=(cfg.anchor_stride,),
+        anchor_ratios=tuple([r for _ in cfg.anchor_sizes
+                             for r in cfg.anchor_ratios]),
+    )
+
+
 def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
                       cfg: MaskRCNNC4Config):
     b, ch, cw, _ = images.shape
@@ -102,17 +123,9 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     logits, deltas = M.rpn_head(params["rpn"], [c4])
     anchors = jnp.asarray(make_anchors_np(cfg, ch, cw))
     # reuse the FPN proposal machinery with one level
-    fpn_like = M.MaskRCNNConfig(
-        rpn_pre_nms_top_n=cfg.rpn_pre_nms_top_n,
-        rpn_post_nms_top_n=cfg.rpn_post_nms_top_n,
-        rpn_nms_thresh=cfg.rpn_nms_thresh,
-        fpn_post_nms_top_n=cfg.rpn_post_nms_top_n,
-        anchor_stride=(cfg.anchor_stride,),
-        anchor_ratios=tuple([r for _ in cfg.anchor_sizes
-                             for r in cfg.anchor_ratios]),
-    )
     proposals, p_scores, p_valid = M.rpn_proposals(
-        logits, deltas, [anchors], image_hw, fpn_like, (ch, cw))
+        logits, deltas, [anchors], image_hw, _single_level_cfg(cfg),
+        (ch, cw))
 
     p = proposals.shape[1]
     flat_boxes = proposals.reshape(b * p, 4)
@@ -188,6 +201,114 @@ def forward_inference(params: dict, images: jax.Array, image_hw: jax.Array,
     masks = masks.reshape(b, d, cfg.mask_out, cfg.mask_out)
     out["masks"] = jax.nn.sigmoid(masks.astype(jnp.float32))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training forward (the reference's canonical C4 train config,
+# README.md:263-284 — MaskRCNNC4Predictor + SHARE_BOX_FEATURE_EXTRACTOR,
+# driven by tools/train_net.py README.md:337-341)
+# ---------------------------------------------------------------------------
+
+
+def forward_train_losses(
+    params: dict,
+    images: jax.Array,  # [B, Hc, Wc, 3] preprocessed canvas
+    image_hw: jax.Array,  # [B, 2]
+    targets: dict,  # boxes [B,G,4], classes [B,G] (0-based, -1 pad),
+    #                 mask_crops [B,G,R,R] float
+    key: jax.Array,
+    cfg: MaskRCNNC4Config,
+    loss_cfg=None,
+):
+    """C4 training forward -> the reference's five losses.
+
+    Differences from the FPN path (maskrcnn.forward_train_losses):
+    single-level RPN with the 12000/2000 C4 train budgets, RoIAlign 14x14
+    straight off C4, res5 as the shared box/mask feature extractor
+    (SHARE_BOX_FEATURE_EXTRACTOR: True — the mask predictor reuses the box
+    head's res5 features instead of pooling again), and 14x14 mask targets
+    (ROI_MASK_HEAD.RESOLUTION: 14)."""
+    from tpuseg.models import maskrcnn_loss as ML
+
+    if loss_cfg is None:
+        loss_cfg = ML.MaskRCNNLossConfig(num_classes=cfg.num_classes,
+                                         mask_size=cfg.mask_out)
+    b, ch, cw, _ = images.shape
+    c4 = backbone_c4(params, images, cfg)
+    logits, deltas = M.rpn_head(params["rpn"], [c4])
+    anchors = jnp.asarray(make_anchors_np(cfg, ch, cw))
+    hl, wl = M.fpn_level_hw(ch, cw, cfg.anchor_stride)
+    inside = M.anchor_inside_mask(
+        image_hw, cfg.anchor_stride, hl, wl, anchors.shape[0] // (hl * wl))
+
+    gt_boxes = targets["boxes"]
+    gt_classes = targets["classes"]
+    gt_valid = gt_classes >= 0
+
+    k_rpn, k_roi = jax.random.split(key)
+    losses = ML.rpn_loss(
+        logits[0].astype(jnp.float32), deltas[0].astype(jnp.float32),
+        anchors, gt_boxes, gt_valid, k_rpn, loss_cfg,
+        image_hw=image_hw, anchor_inside=inside)
+
+    # proposals detached BEFORE generation (upstream rpn.py passes
+    # detach()ed objectness/deltas into the post-processor; see the FPN
+    # path for why a late stop_gradient fails under the Pallas NMS)
+    proposals, _, p_valid = M.rpn_proposals(
+        [jax.lax.stop_gradient(logits[0])],
+        [jax.lax.stop_gradient(deltas[0])],
+        [anchors], image_hw, _single_level_cfg(cfg, train=True), (ch, cw))
+
+    keys = jax.random.split(k_roi, b)
+    sample = jax.vmap(
+        lambda p_, pv, gb, gc, gv, k: ML.sample_proposals(
+            p_, pv, gb, gc, gv, k, loss_cfg)
+    )(proposals, p_valid, gt_boxes, gt_classes, gt_valid, keys)
+
+    s = sample["boxes"].shape[1]
+    flat_boxes = sample["boxes"].reshape(b * s, 4)
+    flat_bidx = jnp.repeat(jnp.arange(b), s)
+    pooled = sampling.roi_align(
+        c4, flat_boxes, flat_bidx, output_size=cfg.pooler_resolution,
+        spatial_scale=1.0 / cfg.anchor_stride,
+        sampling_ratio=cfg.pooler_sampling_ratio, group_size=s)
+    feats = res5_head(params["roi_head"], pooled, cfg)  # [B*S, 7, 7, 2048]
+    x = jnp.mean(feats, axis=(1, 2))
+    cls_logits = L.linear(x, params["box_pred"]["cls_score"])
+    box_deltas = L.linear(x, params["box_pred"]["bbox_pred"])
+    flat_sample = {k_: v.reshape((b * s,) + v.shape[2:])
+                   for k_, v in sample.items()}
+    losses.update(ML.box_head_loss(
+        cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32),
+        flat_sample, loss_cfg))
+
+    if cfg.mask_on:
+        # shared extractor: deconv + class-selected 1x1 on the SAME res5
+        # features (loss only reads positives, so computing all S rois and
+        # masking in the loss is value-identical to upstream's
+        # positive-subset slice)
+        mx = L.relu(L.conv_transpose2d(
+            feats, params["mask_pred"]["conv5_mask"], stride=2))
+        cls_sel = flat_sample["cls_target"]  # 1-based fg labels (0 = bg)
+        w = params["mask_pred"]["mask_fcn_logits"]["weight"][0, 0]  # [C, nc]
+        wsel = jnp.take(w, cls_sel, axis=1).T.astype(mx.dtype)
+        bsel = params["mask_pred"]["mask_fcn_logits"]["bias"][cls_sel].astype(
+            mx.dtype)
+        mask_x = (jnp.einsum("nhwc,nc->nhw", mx, wsel)
+                  + bsel[:, None, None])  # [B*S, 14, 14]
+
+        def per_image_targets(rois, gt_idx, gb, crops):
+            return ML.mask_targets_from_crops(
+                rois, gt_idx, gb, crops, cfg.mask_out)
+
+        t14 = jax.vmap(per_image_targets)(
+            sample["boxes"], sample["gt_idx"], gt_boxes,
+            targets["mask_crops"])
+        losses.update(ML.mask_head_loss_selected(
+            mask_x.astype(jnp.float32), flat_sample,
+            t14.reshape(b * s, cfg.mask_out, cfg.mask_out), loss_cfg))
+    losses["total"] = sum(losses.values())
+    return losses
 
 
 def init_params(key: jax.Array, cfg: MaskRCNNC4Config, dtype=jnp.float32):

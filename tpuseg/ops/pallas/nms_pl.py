@@ -9,6 +9,12 @@ earlier survivors plus the within-tile whole-matrix fixed-point iteration.
 
 Everything is VPU work on resident VMEM data — no HBM round-trips between
 tiles (the jnp version re-materializes the alive vector per step).
+
+VMEM layout: boxes ride as [4, N] and masks as [1, N] so the box dimension
+N is the LANE axis. The naive [N, 4] / [N, 1] blocks lane-pad 4 -> 128 and
+1 -> 128 (4 x ~6 MB at the C4 train budget of 12k boxes — past the 16 MB
+scoped-VMEM stack); transposed they cost 32x less and every coordinate row
+is already the [1, N] broadcast operand the IoU wants.
 """
 from __future__ import annotations
 
@@ -20,15 +26,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _iou_tile_vs_all(tb, boxes, to_remove=0.0):
-    """[T, 4] x [N, 4] -> [T, N] IoU (to_remove=1.0 for detectron extents).
-
-    Written with 2-D slices + transposes only (Mosaic-friendly: no
-    newaxis-with-int indexing).
-    """
-    tx1, ty1, tx2, ty2 = (tb[:, k:k + 1] for k in range(4))  # [T, 1]
-    bx1, by1, bx2, by2 = (
-        jnp.transpose(boxes[:, k:k + 1]) for k in range(4))  # [1, N]
+def _iou_cols(t4, a4, to_remove=0.0):
+    """IoU from coordinate columns: t4 = 4 x [T, 1], a4 = 4 x [1, N]
+    -> [T, N] (to_remove=1.0 for detectron +1 extents)."""
+    tx1, ty1, tx2, ty2 = t4
+    bx1, by1, bx2, by2 = a4
     lt_x = jnp.maximum(tx1, bx1)
     lt_y = jnp.maximum(ty1, by1)
     rb_x = jnp.minimum(tx2, bx2)
@@ -43,36 +45,57 @@ def _iou_tile_vs_all(tb, boxes, to_remove=0.0):
     return inter / jnp.maximum(union, 1e-9)
 
 
-def _make_kernel(n, tile, iou_threshold, to_remove=0.0):
+def _make_kernel(n, tile, cstep, iou_threshold, to_remove=0.0):
     """Kernel over grid (B, num_tiles): batch-major sequential execution lets
-    the [N, 1] alive scratch be reset at tile 0 of each batch element.
-    boxes/valid/out are blocked per batch element."""
+    the [1, N] alive scratch be reset at tile 0 of each batch element.
+    boxes/valid/out are blocked per batch element.
+
+    The cross-tile suppression scan runs in ``cstep``-wide chunks over N so
+    the live [T, cstep] temporaries stay ~1 MB regardless of N (one full
+    [T, N] IoU at the C4 train budget of 12k boxes needs ~4 x 6 MB — past
+    the 16 MB scoped-VMEM stack). Only chunks at or before the current tile
+    can contain earlier survivors, so the loop stops there.
+    """
     num_tiles = n // tile
+    nchunks = n // cstep
 
     def kernel(boxes_ref, valid_ref, out_ref, alive_ref):
-        # blocked per batch element: refs are [1, N, 4] / [1, N, 1]
+        # blocked per batch element: refs are [1, 4, N] / [1, 1, N];
+        # alive scratch [1, N]
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _():
             alive_ref[:] = valid_ref[0]
 
-        # all shapes kept 2-D for Mosaic
         start = pl.multiple_of(i * tile, tile)
-        tb = boxes_ref[0, pl.ds(start, tile), :]
-        tv = valid_ref[0, pl.ds(start, tile), :] > 0  # [T, 1]
-        iou_all = _iou_tile_vs_all(tb, boxes_ref[0, :, :], to_remove)  # [T, N]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        alive_row = jnp.transpose(alive_ref[:, :])  # [1, N]
-        earlier = jnp.where(pos < start, alive_row, 0.0)  # [1, N]
-        cross_sup = jnp.max(
-            jnp.where(iou_all > iou_threshold, earlier, 0.0),
-            axis=1, keepdims=True) > 0  # [T, 1]
-        tv = tv & ~cross_sup
+        # tile coords as [T, 1] columns; chunk coords as [1, C] rows
+        trows = [boxes_ref[0, k:k + 1, pl.ds(start, tile)] for k in range(4)]
+        tcols = [jnp.transpose(r) for r in trows]
+        tv = jnp.transpose(
+            valid_ref[0, :, pl.ds(start, tile)]) > 0  # [T, 1]
+
+        def chunk_body(c, acc):
+            cs = pl.multiple_of(c * cstep, cstep)
+            arows = [boxes_ref[0, k:k + 1, pl.ds(cs, cstep)]
+                     for k in range(4)]
+            iou = _iou_cols(tcols, arows, to_remove)  # [T, C]
+            pos = cs + jax.lax.broadcasted_iota(jnp.int32, (1, cstep), 1)
+            earlier = jnp.where(
+                pos < start, alive_ref[0:1, pl.ds(cs, cstep)], 0.0)
+            sup = jnp.max(jnp.where(iou > iou_threshold, earlier, 0.0),
+                          axis=1, keepdims=True)  # [T, 1]
+            return jnp.maximum(acc, sup)
+
+        # chunks past the current tile hold no earlier survivors
+        last = jnp.minimum(start // cstep + 1, nchunks)
+        cross = jax.lax.fori_loop(
+            0, last, chunk_body, jnp.zeros((tile, 1), jnp.float32))
+        tv = tv & ~(cross > 0)
 
         # within-tile greedy fixed point (strict upper triangle); computed
         # directly (Mosaic has no dynamic_slice on values, and [T,T] is tiny)
-        iou_tt = _iou_tile_vs_all(tb, tb, to_remove)
+        iou_tt = _iou_cols(tcols, trows, to_remove)
         upper = (
             jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -100,7 +123,7 @@ def _make_kernel(n, tile, iou_threshold, to_remove=0.0):
             return new, kept, it + 1
 
         kept, _, _ = jax.lax.while_loop(cond, body, (tv_f, 1.0 - tv_f, 0))
-        alive_ref[pl.ds(start, tile), :] = kept
+        alive_ref[0:1, pl.ds(start, tile)] = jnp.transpose(kept)
 
         @pl.when(i == num_tiles - 1)
         def _():
@@ -117,7 +140,7 @@ def nms_mask_pallas_batched(
     scores: jax.Array,  # [B, N]
     iou_threshold: float,
     valid=None,  # [B, N]
-    tile: int = 128,
+    tile: int | None = None,
     interpret: bool = False,
     to_remove: float = 0.0,
 ) -> jax.Array:
@@ -129,9 +152,14 @@ def nms_mask_pallas_batched(
     from tpuseg.ops.nms import NEG_INF, _sort_desc
 
     b, n = scores.shape
+    if tile is None:
+        tile = 128  # lane-aligned (Mosaic: lane slices must be 128-aligned)
+    # chunk width of the kernel's cross-suppression scan: full width when
+    # small, else 2048 lanes (~1 MB [T, C] temps)
+    cstep = -(-n // tile) * tile if n <= 4096 else 2048
     if valid is None:
         valid = jnp.ones((b, n), bool)
-    pad = (-n) % tile
+    pad = (-n) % max(tile, cstep)
     if pad:
         boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
         scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
@@ -141,24 +169,25 @@ def nms_mask_pallas_batched(
     sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
     svalid = (
         jnp.take_along_axis(masked, order, axis=1) > NEG_INF
-    ).astype(jnp.float32).reshape(b, np_, 1)
+    ).astype(jnp.float32).reshape(b, 1, np_)
+    sboxes_t = jnp.transpose(sboxes, (0, 2, 1))  # [B, 4, N] lane-major
 
     out = pl.pallas_call(
-        _make_kernel(np_, tile, iou_threshold, to_remove),
+        _make_kernel(np_, tile, cstep, iou_threshold, to_remove),
         grid=(b, np_ // tile),
         in_specs=[
-            pl.BlockSpec((1, np_, 4), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, 4, np_), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, 1), lambda bi, ti: (bi, 0, 0),
+            pl.BlockSpec((1, 1, np_), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, np_, 1), lambda bi, ti: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, np_), lambda bi, ti: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, np_, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((np_, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((b, 1, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, np_), jnp.float32)],
         interpret=interpret,
-    )(sboxes, svalid)
-    keep_sorted = out[..., 0] > 0
+    )(sboxes_t, svalid)
+    keep_sorted = out[:, 0, :] > 0
     keep = jnp.zeros((b, np_), bool).at[
         jnp.arange(b)[:, None], order].set(keep_sorted)
     return keep[:, :n]
@@ -169,7 +198,7 @@ def nms_mask_pallas(
     scores: jax.Array,
     iou_threshold: float,
     valid=None,
-    tile: int = 128,
+    tile: int | None = None,
     interpret: bool = False,
     to_remove: float = 0.0,
 ) -> jax.Array:
