@@ -84,7 +84,10 @@ yolact_im700_config = register_config(
     # yolact_im700_config) exactly as im400 below does — keeping the 550
     # scales would make every prior ~27% too small for the released im700
     # checkpoint
+    # upstream yolact_im700_config also raises masks_to_train to 300 (the
+    # 700px canvas fits more/larger instances per image)
     yolact_base_config.copy({"name": "yolact_im700", "max_size": 700,
+                             "masks_to_train": 300,
                              "scales": [int(s / 550 * 700)
                                         for s in (24, 48, 96, 192, 384)]}),
 )
@@ -148,6 +151,17 @@ def yolact_model_config(cfg):
         scales=scales,
         use_square_anchors=cfg.get("use_square_anchors", True),
         dcn_backbone=cfg.get("dcn_backbone", False),
+        use_maskiou=cfg.get("use_maskiou", False),
+    )
+
+
+def yolact_loss_config(cfg):
+    """ConfigNode preset -> models.yolact_loss.YolactLossConfig (training
+    hyperparams that vary per preset, e.g. im700's masks_to_train=300)."""
+    from tpuseg.models.yolact_loss import YolactLossConfig
+
+    return YolactLossConfig(
+        masks_to_train=cfg.get("masks_to_train", 100),
         use_maskiou=cfg.get("use_maskiou", False),
     )
 

@@ -35,6 +35,13 @@ class YolactLossConfig:
     mask_alpha: float = 6.125
     semantic_alpha: float = 1.0
     masks_to_train: int = 100
+    # YOLACT++ (arXiv:1912.06218) FastMaskIoUNet training: I = smooth-L1
+    # between the net's class-channel prediction on the assembled cropped
+    # masks and their true mask IoU vs gt, skipping gt masks smaller than
+    # discard_mask_area proto pixels (upstream 5*5)
+    use_maskiou: bool = False
+    maskiou_alpha: float = 25.0
+    discard_mask_area: float = 25.0
 
 
 def match_priors(
@@ -134,8 +141,15 @@ def mask_loss(
     gt_masks_proto,  # [G, S, S] float 0/1 (pre-downsampled on host)
     key,
     cfg: YolactLossConfig,
+    gt_classes=None,  # [G] 0-based (needed for maskiou targets)
 ):
-    """BCE over assembled masks for up to masks_to_train positives."""
+    """BCE over assembled masks for up to masks_to_train positives.
+
+    With cfg.use_maskiou, also returns the FastMaskIoUNet training targets
+    built from the SAME selected positives (upstream lincomb_mask_loss):
+    {"input" [M,S,S] sigmoid+cropped masks, "iou_t" [M] true mask IoU of
+    the binarized mask vs gt, "label" [M] 0-based class, "valid" [M]}.
+    """
     n = conf_t.shape[0]
     s = proto.shape[0]
     pos = conf_t > 0
@@ -171,7 +185,37 @@ def mask_loss(
     area = jnp.maximum(gt_w * gt_h, 1e-4)
     per_inst = per_inst / area
     per_inst = jnp.where(sel_valid, per_inst, 0.0)
-    return cfg.mask_alpha * jnp.sum(per_inst)
+    l_mask = cfg.mask_alpha * jnp.sum(per_inst)
+    if not cfg.use_maskiou:
+        return l_mask
+
+    # maskiou targets: sigmoid + crop (net input), then binarize at 0.5 for
+    # the true-IoU target; discard instances with tiny gt masks
+    pred_sig = jnp.where(inside, jax.nn.sigmoid(pred), 0.0)
+    pred_bin = (pred_sig > 0.5).astype(jnp.float32)
+    inter = jnp.sum(pred_bin * mask_t, axis=(1, 2))
+    union = jnp.sum(pred_bin, axis=(1, 2)) + jnp.sum(mask_t, axis=(1, 2)) - inter
+    iou_t = inter / jnp.maximum(union, 1e-6)
+    gt_area = jnp.sum(mask_t, axis=(1, 2))
+    valid = sel_valid & (gt_area > cfg.discard_mask_area)
+    label = jnp.clip(gt_classes[sel_gt], 0)
+    miou = {"input": pred_sig, "iou_t": iou_t, "label": label, "valid": valid}
+    return l_mask, miou
+
+
+def mask_iou_loss(maskiou_fn, miou: dict, cfg: YolactLossConfig):
+    """FastMaskIoUNet regression loss (upstream MultiBoxLoss.mask_iou_loss).
+
+    maskiou_fn: masks [M, S, S] -> [M, num_classes-1] predicted IoUs.
+    miou: batched targets from mask_loss, leading dims [B, M].
+    """
+    b, m, s, _ = miou["input"].shape
+    pred = maskiou_fn(miou["input"].reshape(b * m, s, s))  # [B*M, C-1]
+    sel = jnp.take_along_axis(
+        pred, miou["label"].reshape(b * m)[:, None], axis=1)[:, 0]
+    l1 = smooth_l1(sel, miou["iou_t"].reshape(b * m))
+    l1 = jnp.where(miou["valid"].reshape(b * m), l1, 0.0)
+    return cfg.maskiou_alpha * jnp.sum(l1)
 
 
 def semantic_loss(sem_logits, gt_classes, gt_masks_sem,
@@ -199,12 +243,18 @@ def semantic_loss(sem_logits, gt_classes, gt_masks_sem,
     return cfg.semantic_alpha * jnp.sum(bce) / (hs * ws)
 
 
-def total_loss(preds, sem_logits, targets, priors, key, cfg: YolactLossConfig):
+def total_loss(preds, sem_logits, targets, priors, key, cfg: YolactLossConfig,
+               maskiou_fn=None):
     """Batch loss dict. targets: dict of padded arrays per image:
     boxes [B,G,4] (normalized), classes [B,G] (-1 pad), crowd [B,G],
     masks_proto [B,G,S,S], masks_sem [B,G,Hs,Ws].
+
+    With cfg.use_maskiou, ``maskiou_fn`` (masks [M,S,S] -> [M, C-1]) must
+    be supplied (closes over the model's FastMaskIoUNet params so its
+    gradients flow); adds the 'I' term (YOLACT++).
     """
     b = preds["loc"].shape[0]
+    use_miou = cfg.use_maskiou and maskiou_fn is not None
 
     def per_image(loc, conf, coeff, proto, sem, boxes, classes, crowd,
                   masks_proto, masks_sem, key):
@@ -213,13 +263,14 @@ def total_loss(preds, sem_logits, targets, priors, key, cfg: YolactLossConfig):
         l_loc = jnp.sum(
             jnp.where(pos[:, None], smooth_l1(loc, loc_t), 0.0)
         ) * cfg.bbox_alpha
-        l_mask = mask_loss(proto, coeff, conf_t, midx, boxes, masks_proto,
-                           key, cfg)
+        m_ret = mask_loss(proto, coeff, conf_t, midx, boxes, masks_proto,
+                          key, cfg, gt_classes=classes)
+        l_mask, miou = m_ret if cfg.use_maskiou else (m_ret, 0)
         l_sem = semantic_loss(sem, classes, masks_sem, cfg, gt_crowd=crowd)
-        return l_loc, l_mask, l_sem, conf_t, jnp.sum(pos)
+        return l_loc, l_mask, l_sem, conf_t, jnp.sum(pos), miou
 
     keys = jax.random.split(key, b)
-    l_loc, l_mask, l_sem, conf_t, npos = jax.vmap(per_image)(
+    l_loc, l_mask, l_sem, conf_t, npos, miou = jax.vmap(per_image)(
         preds["loc"], preds["conf"], preds["coeff"], preds["proto"],
         sem_logits, targets["boxes"], targets["classes"], targets["crowd"],
         targets["masks_proto"], targets["masks_sem"], keys,
@@ -232,5 +283,8 @@ def total_loss(preds, sem_logits, targets, priors, key, cfg: YolactLossConfig):
         "M": jnp.sum(l_mask) / total_pos,
         "S": jnp.sum(l_sem) / (preds["loc"].shape[0]),
     }
+    if use_miou:
+        # upstream normalizes 'I' by total_num_pos like B/C/M
+        losses["I"] = mask_iou_loss(maskiou_fn, miou, cfg) / total_pos
     losses["total"] = sum(losses.values())
     return losses
