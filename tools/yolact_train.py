@@ -4,7 +4,7 @@
 Usage:
     python tools/yolact_train.py --config=yolact_base_config --batch_size=8
     python tools/yolact_train.py --config=yolact_base_config \
-        --resume=weights/yolact_base_10_32100.npz --start_iter=-1
+        --resume=weights/yolact_base_10_32100.pth --start_iter=-1
 """
 import argparse
 
@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--start_iter", type=int, default=-1)
     ap.add_argument("--save_folder", default="weights/")
     ap.add_argument("--save_interval", type=int, default=10000)
+    ap.add_argument("--save_format", default="pth", choices=["pth", "npz"],
+                    help="pth = reference SavePath convention "
+                    "(torch-zip, loads in upstream yolact)")
     ap.add_argument("--max_iter", type=int, default=800000)
     ap.add_argument("--max_steps", type=int, default=None,
                     help="stop after N steps (smoke runs)")
@@ -29,7 +32,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.configs.presets import yolact_loss_config, yolact_model_config
     from tpuseg.data.coco_dataset import CocoDetectionDataset
     from tpuseg.engine.config import get_config
     from tpuseg.engine.yolact_train_loop import train
@@ -46,6 +49,8 @@ def main():
           save_every=args.save_interval, save_folder=args.save_folder,
           cfg_name=preset.name, resume=args.resume,
           start_iter=args.start_iter, max_steps=args.max_steps,
+          loss_cfg=yolact_loss_config(preset),
+          save_format=args.save_format,
           compute_dtype=(jnp.bfloat16
                          if args.compute_dtype == "bfloat16" else None))
 

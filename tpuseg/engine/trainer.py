@@ -141,8 +141,12 @@ def detectron_param_groups(params):
 _CKPT_RE = re.compile(r"^(?P<name>.+)_(?P<epoch>\d+)_(?P<iter>\d+)\.(npz|pth)$")
 
 
-def ckpt_path(folder: str, cfg_name: str, epoch: int, iteration: int) -> str:
-    return os.path.join(folder, f"{cfg_name}_{epoch}_{iteration}.npz")
+def ckpt_path(folder: str, cfg_name: str, epoch: int, iteration: int,
+              fmt: str = "pth") -> str:
+    """yolact SavePath naming: weights/<cfg>_<epoch>_<iter>.<ext>
+    (README.md:232-233). fmt="pth" (default, reference convention — the
+    file round-trips through real torch) or "npz"."""
+    return os.path.join(folder, f"{cfg_name}_{epoch}_{iteration}.{fmt}")
 
 
 def parse_ckpt_iter(path: str) -> int:
@@ -169,6 +173,33 @@ def save_params_npz(path: str, params) -> None:
     rec(params, "")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **flat)
+
+
+def save_params_pth(path: str, params, model_cfg) -> None:
+    """Write a reference-format torch-zip checkpoint: the param tree maps
+    back to a dbolya-named state dict (weights/yolact_map.to_torch_state)
+    and serializes via the pure-Python torch writer, so the snapshot loads
+    through upstream ``load_weights`` AND through real ``torch.load``."""
+    from tpuseg.weights.torch_io import save_torch_file
+    from tpuseg.weights.yolact_map import to_torch_state
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    save_torch_file(path, to_torch_state(params, model_cfg))
+
+
+def load_params_ckpt(path: str, like, model_cfg=None):
+    """Resume from either checkpoint format by extension (.pth reads back
+    through the real torch-checkpoint path: unpickle + weight map)."""
+    if path.endswith(".pth"):
+        from tpuseg.weights.torch_io import flatten_state_dict, load_torch_file
+        from tpuseg.weights.yolact_map import from_torch_state
+
+        flat = flatten_state_dict(load_torch_file(path))
+        params = from_torch_state(flat, model_cfg)
+        return jax.tree.map(
+            lambda x: jnp.asarray(x) if x is not None else None, params,
+            is_leaf=lambda x: x is None or isinstance(x, np.ndarray))
+    return load_params_npz(path, like)
 
 
 def load_params_npz(path: str, like) -> dict:
@@ -247,7 +278,16 @@ class YolactTrainer:
             if cdt is not None:
                 preds = {k: v.astype(jnp.float32) for k, v in preds.items()}
                 sem = sem.astype(jnp.float32)
-            losses = total_loss(preds, sem, targets, priors, key, lcfg)
+            miou_fn = None
+            if lcfg.use_maskiou and "maskiou" in pc:
+                from tpuseg.models.yolact import maskiou_net
+
+                def miou_fn(m):
+                    m = m if cdt is None else m.astype(cdt)
+                    return maskiou_net(pc["maskiou"], m, mcfg).astype(
+                        jnp.float32)
+            losses = total_loss(preds, sem, targets, priors, key, lcfg,
+                                maskiou_fn=miou_fn)
             return losses["total"], (losses, bn_stats)
 
         def step(params, buf, images, targets, key, iteration):

@@ -95,11 +95,12 @@ def batch_iterator(dataset, cfg, rng: np.random.Generator, batch_size: int,
 def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
           save_folder="weights/", cfg_name="yolact_base", resume=None,
           start_iter=-1, log_every=10, lr_fn=None, use_mesh=True,
-          max_steps=None, compute_dtype=None):
+          max_steps=None, compute_dtype=None, loss_cfg=None,
+          save_format="pth"):
     """train.py main loop (README.md:225-237 CLI semantics)."""
     from tpuseg.engine.trainer import (
-        YolactTrainer, ckpt_path, load_params_npz, parse_ckpt_iter,
-        save_params_npz)
+        YolactTrainer, ckpt_path, load_params_ckpt, parse_ckpt_iter,
+        save_params_npz, save_params_pth)
     from tpuseg.models import yolact as yolact_model
     from tpuseg.parallel.mesh import make_mesh, replicate, shard_batch
     from tpuseg.utils.logging import MovingAverage
@@ -108,13 +109,13 @@ def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
     # yolact train.py: per-GPU batch < 6 -> "Disabling batch norm" —
     # otherwise BN trains (batch stats + running-stat updates)
     freeze_bn = (batch_size // max(n_dev, 1)) < 6
-    trainer = YolactTrainer(model_cfg, lr_fn=lr_fn,
+    trainer = YolactTrainer(model_cfg, loss_cfg=loss_cfg, lr_fn=lr_fn,
                             compute_dtype=compute_dtype,
                             freeze_bn=freeze_bn)
     params = yolact_model.init_params(jax.random.PRNGKey(0), model_cfg)
     it = 0
     if resume:
-        params = load_params_npz(resume, params)
+        params = load_params_ckpt(resume, params, model_cfg)
         it = parse_ckpt_iter(resume) if start_iter < 0 else start_iter
     buf = trainer.init_state(params)
 
@@ -126,7 +127,9 @@ def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
 
     rng = np.random.default_rng(42)
     it_gen = batch_iterator(dataset, model_cfg, rng, batch_size)
-    avgs = {k: MovingAverage(100) for k in ("B", "C", "M", "S", "total")}
+    # loss-term keys vary by config (++ adds 'I'): create averages lazily
+    loss_keys = ("B", "C", "M", "S")
+    avgs = {}
     time_avg = MovingAverage(100)
     epoch_size = max(len(dataset) // batch_size, 1)
     key = jax.random.PRNGKey(7)
@@ -146,19 +149,24 @@ def train(dataset, model_cfg, batch_size=8, max_iter=800000, save_every=10000,
         losses = jax.tree.map(float, jax.device_get(losses))
         time_avg.add(time.perf_counter() - t0)
         for k, v in losses.items():
-            avgs[k].add(v)
+            avgs.setdefault(k, MovingAverage(100)).add(v)
         it += 1
         if max_steps is not None:
             max_steps -= 1
         if it % log_every == 0:
             eta = (max_iter - it) * time_avg.get_avg()
             terms = " | ".join(
-                f"{k}: {avgs[k].get_avg():.3f}" for k in ("B", "C", "M", "S"))
+                f"{k}: {avgs[k].get_avg():.3f}"
+                for k in (*loss_keys, "I") if k in avgs)
             print(f"[{it // epoch_size:3d}] {it:7d} || {terms} || "
                   f"T: {avgs['total'].get_avg():.3f} || "
                   f"ETA: {eta / 3600:.2f}h || {time_avg.get_avg():.3f}s/it")
         if it % save_every == 0:
-            path = ckpt_path(save_folder, cfg_name, it // epoch_size, it)
-            save_params_npz(path, jax.device_get(params))
+            path = ckpt_path(save_folder, cfg_name, it // epoch_size, it,
+                             fmt=save_format)
+            if save_format == "pth":
+                save_params_pth(path, jax.device_get(params), model_cfg)
+            else:
+                save_params_npz(path, jax.device_get(params))
             print(f"saved {path}")
     return params, it

@@ -118,3 +118,96 @@ def _darknet_from_torch(flat: dict) -> dict:
             )
         params[f"stage{si}"] = stage
     return params
+
+
+# ---------------------------------------------------------------------------
+# inverse map: param tree -> dbolya-named flat state dict (reference-format
+# checkpoint SAVE — yolact SavePath writes weights/<cfg>_<epoch>_<iter>.pth,
+# README.md:232-233; a tpuseg training snapshot must load back through both
+# load_weights and real torch)
+# ---------------------------------------------------------------------------
+
+
+def _inv_conv(out: dict, name: str, p: dict) -> None:
+    w = np.asarray(p["weight"], np.float32)
+    out[f"{name}.weight"] = np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+    if p.get("bias") is not None:
+        out[f"{name}.bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _inv_bn(out: dict, name: str, p: dict) -> None:
+    for k in ("weight", "bias", "running_mean", "running_var"):
+        out[f"{name}.{k}"] = np.asarray(p[k], np.float32)
+    # torch BN modules carry this buffer; strict load_state_dict wants it
+    out[f"{name}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def to_torch_state(params: dict, cfg: YolactConfig) -> dict:
+    """Exact inverse of :func:`from_torch_state` (numpy float32 leaves)."""
+    flat: dict = {}
+    bb = params["backbone"]
+    if cfg.backbone.startswith("resnet"):
+        from tpuseg.models.yolact import _resnet_cfg
+
+        rcfg = _resnet_cfg(cfg)
+        _inv_conv(flat, "backbone.conv1", bb["stem"]["conv"])
+        _inv_bn(flat, "backbone.bn1", bb["stem"]["bn"])
+        for si, nblocks in enumerate(rcfg.stage_blocks):
+            for bi, p in enumerate(bb[f"layer{si + 1}"]):
+                base = f"backbone.layers.{si}.{bi}"
+                _inv_conv(flat, f"{base}.conv1", p["conv1"])
+                _inv_bn(flat, f"{base}.bn1", p["bn1"])
+                _inv_conv(flat, f"{base}.conv2", p["conv2"])
+                if p.get("conv2_offset") is not None:
+                    # DCNv2 module layout: conv2.{weight,bias} +
+                    # conv2.conv_offset_mask.{weight,bias}
+                    _inv_conv(flat, f"{base}.conv2.conv_offset_mask",
+                              p["conv2_offset"])
+                _inv_bn(flat, f"{base}.bn2", p["bn2"])
+                _inv_conv(flat, f"{base}.conv3", p["conv3"])
+                _inv_bn(flat, f"{base}.bn3", p["bn3"])
+                if p.get("downsample") is not None:
+                    _inv_conv(flat, f"{base}.downsample.0",
+                              p["downsample"]["conv"])
+                    _inv_bn(flat, f"{base}.downsample.1",
+                            p["downsample"]["bn"])
+    else:
+        from tpuseg.nn.darknet import STAGES
+
+        def inv_cb(name, p):
+            _inv_conv(flat, f"{name}.conv", p["conv"])
+            _inv_bn(flat, f"{name}.bn", p["bn"])
+
+        inv_cb("backbone._preconv", bb["stem"])
+        for si, (_, nblocks) in enumerate(STAGES):
+            base = f"backbone.layers.{si}"
+            inv_cb(f"{base}.0", bb[f"stage{si}"]["down"])
+            for bi, blk in enumerate(bb[f"stage{si}"]["blocks"]):
+                inv_cb(f"{base}.{bi + 1}.0", blk["conv1"])
+                inv_cb(f"{base}.{bi + 1}.1", blk["conv2"])
+
+    nlv = 3
+    for i in range(nlv):
+        _inv_conv(flat, f"fpn.lat_layers.{i}", params["fpn"]["lat"][i])
+        # forward applies pred[j] to P_{3+j}; checkpoint order is reversed
+        _inv_conv(flat, f"fpn.pred_layers.{i}",
+                  params["fpn"]["pred"][nlv - 1 - i])
+    for i in range(2):
+        _inv_conv(flat, f"fpn.downsample_layers.{i}",
+                  params["fpn"]["down"][i])
+    for ci, idx in enumerate((0, 2, 4, 8, 10)):
+        _inv_conv(flat, f"proto_net.{idx}", params["proto"][f"conv{ci}"])
+    _inv_conv(flat, "prediction_layers.0.upfeature.0",
+              params["pred"]["upfeature"])
+    _inv_conv(flat, "prediction_layers.0.bbox_layer", params["pred"]["bbox"])
+    _inv_conv(flat, "prediction_layers.0.conf_layer", params["pred"]["conf"])
+    _inv_conv(flat, "prediction_layers.0.mask_layer", params["pred"]["mask"])
+    if "semantic" in params:
+        _inv_conv(flat, "semantic_seg_conv", params["semantic"])
+    if "maskiou" in params:
+        for i in range(5):
+            _inv_conv(flat, f"maskiou_net.maskiou_net.{2 * i}",
+                      params["maskiou"][f"conv{i}"])
+        _inv_conv(flat, "maskiou_net.maskiou_net.10",
+                  params["maskiou"]["conv_last"])
+    return flat
