@@ -331,9 +331,13 @@ def _up_bilinear(x, ref):
 
 def backbone_forward(params: dict, images: jax.Array, cfg: Pose2SegConfig):
     """ResNet50 (dilated C5) + pose FPN -> P2 feature map at stride 4."""
+    # remat off: the 512 canvas train step fits HBM (same rationale as
+    # yolact._resnet_cfg — checkpoint_with_bn makes remat+train-BN legal,
+    # but the recompute isn't worth it at this activation footprint)
     rcfg = resnet_nn.ResNetConfig(depth=50, stride_in_1x1=False,
                                   frozen_bn=False,
-                                  dilation_c5=cfg.dilation_c5)
+                                  dilation_c5=cfg.dilation_c5,
+                                  remat_stages=())
     feats = resnet_nn.forward(params["backbone"], images, rcfg)
     return pose_fpn_forward(params["fpn"], feats)
 

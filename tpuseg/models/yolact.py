@@ -178,9 +178,14 @@ def _resnet_cfg(cfg: YolactConfig) -> resnet_nn.ResNetConfig:
     # dcn_interval=3; resnet50_dcnv2_backbone keeps the default interval 1
     # (every block of stages 2-4 is deformable). Both cover whole stages
     # (dcn_layers == stage depth), so stage+interval captures the layout.
+    # remat_stages=(): the 550 canvas fits HBM without remat, and the
+    # recompute costs 19% on the chip train step (150 vs 184 img/s A/B,
+    # round 4) — remat COMPOSES with train-mode BN now
+    # (layers.checkpoint_with_bn), it's just not worth paying here
     return resnet_nn.ResNetConfig(
         depth=depth, stride_in_1x1=False, frozen_bn=False,
-        dcn_stages=dcn, dcn_interval=3 if depth == 101 else 1)
+        dcn_stages=dcn, dcn_interval=3 if depth == 101 else 1,
+        remat_stages=())
 
 
 def backbone_forward(params: dict, images: jax.Array, cfg: YolactConfig) -> dict:

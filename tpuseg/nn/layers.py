@@ -138,15 +138,18 @@ def batch_norm(x: jax.Array, p: dict, eps: float = 1e-5) -> jax.Array:
     if _BN_TAPE is None:
         return batch_norm_inference(x, p, eps=eps)
     axes = tuple(range(x.ndim - 1))
-    xf = x.astype(jnp.float32)
+    # stats in at-least-f32 (torch semantics for bf16/f32 inputs; an f64
+    # input keeps f64 so x64-mode equivalence tests stay bit-tight)
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cdt)
     mean = jnp.mean(xf, axes)
     var = jnp.var(xf, axes)
     n = 1
     for a in axes:
         n *= x.shape[a]
     _BN_TAPE.tape.append((p, mean, var, n))
-    scale = p["weight"].astype(jnp.float32) * jax.lax.rsqrt(var + eps)
-    bias = p["bias"].astype(jnp.float32) - mean * scale
+    scale = p["weight"].astype(cdt) * jax.lax.rsqrt(var + eps)
+    bias = p["bias"].astype(cdt) - mean * scale
     return (xf * scale + bias).astype(x.dtype)
 
 
@@ -168,13 +171,67 @@ def bn_tape_by_path(params, tape) -> dict:
 
     walk(params, ())
     out = {}
-    for p, mean, var, n in tape:
-        path = paths.get(id(p))
+    for entry in tape:
+        if len(entry) == 4:
+            p, mean, var, n = entry
+            path = paths.get(id(p))
+        else:
+            # (anchor, relpath, mean, var, n) re-taped by
+            # checkpoint_with_bn: stats that escaped a remat region as
+            # explicit outputs, anchored at the params subtree the
+            # rematted function received — resolve the anchor by id, then
+            # extend by the path recorded inside the region
+            anchor, rel, mean, var, n = entry
+            base = paths.get(id(anchor))
+            path = None if base is None else base + rel
         if path is None:
             raise ValueError("taped BN params not found in the given tree — "
                              "pass the exact tree the forward used")
         out[path] = (mean, var, float(n))
     return out
+
+
+def checkpoint_with_bn(f, params_argnum: int = 0, **remat_kw):
+    """``jax.checkpoint`` that composes with :class:`bn_train_mode`.
+
+    A taped value produced INSIDE a remat region belongs to the region's
+    sub-trace; stashing it on the ambient tape would leak the tracer (the
+    reason per-block remat used to be skipped in training — VERDICT r3 #7).
+    Here the region runs under its own local tape and returns the batch
+    stats as explicit outputs of the checkpointed function (outputs are
+    always residuals, so remat semantics are unchanged); the wrapper then
+    re-tapes them onto the ambient tape anchored at the params argument, so
+    ``bn_tape_by_path`` on the outer tree resolves them to full paths.
+
+    ``params_argnum`` names the positional argument holding the params
+    (sub)tree whose BN layers may tape. With no ambient tape (inference /
+    frozen-BN training) this is exactly ``jax.checkpoint(f)``.
+    """
+    plain = jax.checkpoint(f, **remat_kw)
+    meta = {}
+
+    def inner(*args):
+        with bn_train_mode() as bt:
+            out = f(*args)
+        stats = bn_tape_by_path(args[params_argnum], bt.tape)
+        items = sorted(stats.items(), key=lambda kv: tuple(map(str, kv[0])))
+        # static (path, n) stashed trace-side; overwritten identically when
+        # remat replays the trace during backward
+        meta["static"] = [(path, n) for path, (_, _, n) in items]
+        return out, [(m, v) for _, (m, v, _) in items]
+
+    rematted = jax.checkpoint(inner, **remat_kw)
+
+    def wrapper(*args):
+        if _BN_TAPE is None:
+            return plain(*args)
+        out, vals = rematted(*args)
+        anchor = args[params_argnum]
+        for (path, n), (m, v) in zip(meta["static"], vals):
+            _BN_TAPE.tape.append((anchor, path, m, v, n))
+        return out
+
+    return wrapper
 
 
 def bn_apply_stats(params, stats: dict, momentum: float = 0.1):

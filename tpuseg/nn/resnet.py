@@ -117,14 +117,13 @@ def forward(params: dict, x: jax.Array, cfg: ResNetConfig) -> dict:
             # cfg.remat_stages limits it to the stages whose activations
             # actually dominate HBM
             blk = bottleneck
-            # train-mode BN tapes batch stats at trace time; a taped value
-            # inside a jax.checkpoint region would leak its sub-trace, so
-            # remat is skipped while bn_train_mode is active (yolact's 550
-            # canvas fits HBM without it; the detectron train path that
-            # NEEDS remat uses FrozenBN and never tapes)
-            if si in cfg.remat_stages and not (
-                    not cfg.frozen_bn and L.bn_training()):
-                blk = jax.checkpoint(bottleneck, static_argnums=(2, 3, 4))
+            if si in cfg.remat_stages:
+                # checkpoint_with_bn: under train-mode BN the block's batch
+                # stats escape the remat region as explicit outputs and are
+                # re-taped outside (plain jax.checkpoint otherwise) — remat
+                # and BN training compose (VERDICT r3 #7)
+                blk = L.checkpoint_with_bn(
+                    bottleneck, params_argnum=1, static_argnums=(2, 3, 4))
             x = blk(x, bp, stride if bi == 0 else 1, dilation, cfg)
         if cfg.freeze_at >= si + 2:
             x = jax.lax.stop_gradient(x)
