@@ -212,3 +212,89 @@ def test_dcn_sample_grads_match_ref(rng):
     for a, b_ in zip(g_k, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_deform_conv_windowed_matches_gather(rng):
+    """Windowed kernel path (interpreted) == gather path on geometries that
+    trigger windowing (h >= 32, w > 32): small offsets (pure window),
+    mixed large offsets (escape correction), stride 2, and huge offsets
+    everywhere (over-budget -> dense cond fallback)."""
+    from tpuseg.ops import deform_conv as D
+
+    b, k = 2, 3
+    for (h, w, stride, oscale, n_big) in (
+            (40, 48, 1, 1.5, 0),       # all in-window
+            (40, 48, 1, 1.5, 30),      # some escapes -> exact correction
+            (47, 41, 2, 1.0, 5),       # stride-2 geometry + a few escapes
+    ):
+        cin = cout = 4
+        ho = (h + 2 - 2 - 1) // stride + 1
+        wo = (w + 2 - 2 - 1) // stride + 1
+        assert D._win_geometry(h, w, k * k, stride, 1) is not None
+        x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+        offsets = (rng.standard_normal((b, ho, wo, 2 * k * k)) *
+                   oscale).astype(np.float32)
+        if n_big:
+            flat = offsets.reshape(-1)
+            pick = rng.choice(flat.size, n_big, replace=False)
+            flat[pick] = rng.uniform(8, 25, n_big) * rng.choice(
+                [-1, 1], n_big)
+        mask = rng.uniform(0.2, 1.0, (b, ho, wo, k * k)).astype(np.float32)
+        weight = rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+        args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(mask),
+                jnp.asarray(weight), None)
+        kw = dict(stride=stride, padding=1, dilation=1)
+        want = np.asarray(deform_conv2d(*args, method="gather", **kw))
+        got = np.asarray(deform_conv2d(*args, method="onehot", **kw))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_deform_conv_windowed_overflow_falls_back_dense(rng):
+    """When more samples escape than the correction budget, the cond picks
+    the dense kernel and the result is still exact."""
+    from tpuseg.ops import deform_conv as D
+
+    b, k, h, w, cin, cout = 1, 3, 40, 48, 4, 4
+    x = rng.standard_normal((b, h, w, cin)).astype(np.float32)
+    # every offset large: all samples escape their tile windows
+    offsets = (rng.uniform(10, 20, (b, h, w, 2 * k * k)) *
+               rng.choice([-1.0, 1.0], (b, h, w, 2 * k * k))
+               ).astype(np.float32)
+    mask = rng.uniform(0.2, 1.0, (b, h, w, k * k)).astype(np.float32)
+    weight = rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+    assert D._win_geometry(h, w, k * k, 1, 1) is not None
+    args = (jnp.asarray(x), jnp.asarray(offsets), jnp.asarray(mask),
+            jnp.asarray(weight), None)
+    want = np.asarray(deform_conv2d(*args, method="gather"))
+    got = np.asarray(deform_conv2d(*args, method="onehot"))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_deform_conv_windowed_grads_match_gather(rng):
+    """Gradients through the windowed custom-vjp path (x, offsets, mask,
+    weight) == autodiff through the gather formulation."""
+    import jax
+
+    b, k, h, w, cin, cout = 1, 3, 40, 48, 3, 2
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    offsets = jnp.asarray(
+        (rng.standard_normal((b, h, w, 2 * k * k)) * 1.5).astype(np.float32))
+    mask = jnp.asarray(
+        rng.uniform(0.2, 1.0, (b, h, w, k * k)).astype(np.float32))
+    weight = jnp.asarray(
+        rng.standard_normal((k, k, cin, cout)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((b, h, w, cout)).astype(np.float32))
+
+    def loss(method):
+        def f(x_, o_, m_, w_):
+            out = deform_conv2d(x_, o_, m_, w_, None, method=method)
+            return jnp.sum(out * cot)
+        return f
+
+    g_win = jax.grad(loss("onehot"), argnums=(0, 1, 2, 3))(
+        x, offsets, mask, weight)
+    g_ref = jax.grad(loss("gather"), argnums=(0, 1, 2, 3))(
+        x, offsets, mask, weight)
+    for a, bb, name in zip(g_win, g_ref, ("x", "offsets", "mask", "weight")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

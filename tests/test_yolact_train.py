@@ -74,8 +74,10 @@ def test_ckpt_roundtrip_and_naming(tmp_path):
     cfg = _tiny()
     params = Y.init_params(jax.random.PRNGKey(0), cfg)
     path = ckpt_path(str(tmp_path), "yolact_tiny", 3, 1234)
-    assert path.endswith("yolact_tiny_3_1234.npz")
+    assert path.endswith("yolact_tiny_3_1234.pth")  # reference convention
     assert parse_ckpt_iter(path) == 1234
+    path = ckpt_path(str(tmp_path), "yolact_tiny", 3, 1234, fmt="npz")
+    assert path.endswith("yolact_tiny_3_1234.npz")
     save_params_npz(path, params)
     loaded = load_params_npz(path, params)
     a = jax.tree.leaves(params)

@@ -26,6 +26,274 @@ import jax
 import jax.numpy as jnp
 
 
+# --------------------------------------------------------------------------
+# Windowed sampling path (the TPU fast path for the backbone geometries)
+# --------------------------------------------------------------------------
+
+_RY, _RX = 32, 16  # window rows/cols (see dcn_pl.dcn_sample_windowed)
+_ESC_BUDGET = 2048  # exact-correction slots per image before dense fallback
+
+
+def _win_geometry(h, w, kk, stride, dilation):
+    """Position-tile shape (BY, BX) for the windowed kernel, or None when
+    windows would not shrink the contraction. The tile's intrinsic reach
+    per axis is (B-1)*stride + 2*dilation + 2 (taps + bilinear support);
+    it must fit the window with slack for learned offsets (y additionally
+    loses up to 7 rows to the 8-aligned window origin)."""
+    if h < _RY or w <= 2 * _RX:
+        return None
+    reach = 2 * dilation + 2
+    # >= ±4 px x-offset slack; y has >= ±12 (8 of which the aligned origin
+    # may consume), so escapes are x-bound in practice
+    bx_max = (_RX - reach - 4) // stride + 1
+    by_max = (_RY - reach - 12) // stride + 1
+    if bx_max < 1 or by_max < 1:
+        return None
+    bx = min(bx_max, max(1, 128 // kk // 2 + 1))  # kk=9 -> 7
+    by = min(by_max, max(1, 128 // (bx * kk)))
+    if by * bx * kk < 64:  # tile too small to feed the MXU
+        return None
+    return by, bx
+
+
+def _cols_gather(x, sy, sx, mask):
+    """Differentiable gather formulation of the sampling contraction
+    (zero-padding border): [B,h,w,c], [B,Ho,Wo,kk] coords/mask ->
+    [B,Ho,Wo,kk,c] f32. Also the backward rule for the windowed path."""
+    from tpuseg.ops.sampling import (_bilinear_corners_zeropad,
+                                     _gather_weighted)
+
+    b, h, w, cin = x.shape
+    idx4, w4 = _bilinear_corners_zeropad(
+        sy.astype(jnp.float32), sx.astype(jnp.float32), h, w)
+    cols = jax.vmap(_gather_weighted)(
+        x.reshape(b, h * w, cin).astype(jnp.float32), idx4, w4)
+    return cols * mask.astype(jnp.float32)[..., None]
+
+
+def _axis_window(coords, extent, r, align, max_base=None):
+    """Per-tile window origin + per-sample in-window flag for one axis.
+
+    coords [B, nt, T]; a sample's hat support is {floor(c), floor(c)+1} ∩
+    [0, extent). ``max_base`` is the largest allowed origin — when the
+    axis is padded so aligned windows can reach the bottom rows, it is
+    already a multiple of ``align`` (else align-down of extent-r would
+    strand the last rows outside every window: measured 3485/42849
+    always-escaping samples on the 69x69 stage at ZERO offsets, which sent
+    the whole batch down the dense fallback). Returns (base [B, nt] int32,
+    in_window [B, nt, T] bool — vacuously true for samples with no support
+    on this axis)."""
+    if max_base is None:
+        max_base = max(extent - r, 0)
+    c0 = jnp.floor(coords)
+    has = (coords > -1.0) & (coords < extent)
+    lo = jnp.clip(c0, 0, extent - 1)
+    hi = jnp.clip(c0 + 1, 0, extent - 1)
+    base = jnp.min(jnp.where(has, lo, extent), axis=-1)
+    base = jnp.clip(base, 0, max_base)
+    base = ((base.astype(jnp.int32) // align) * align)
+    bb = base[..., None].astype(jnp.float32)
+    in_w = (~has) | ((lo >= bb) & (hi <= bb + (r - 1)))
+    return base, in_w
+
+
+def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
+    """Forward of the windowed path, producing the CONV OUTPUT
+    [B, Ho, Wo, cout] f32 (no bias). Samples are reordered into (BY x BX)
+    position tiles, the window kernel samples them, and the weight
+    contraction runs IN TILE LAYOUT — so the [B, S, c] sampled columns are
+    never re-laid-out or scattered into (only the kk-fold smaller conv
+    output is). Escaped samples contribute zero in the kernel (their
+    modulation row is zeroed) and their exact contribution is scatter-ADDED
+    to the output under a `count > 0` cond, so the zero-escape common case
+    (offsets are zero-init; trained offsets mostly within the ±4 px slack)
+    pays nothing. If any image escapes more than the correction budget the
+    whole batch falls back to the jnp einsum formulation (exact, slower).
+    """
+    from tpuseg.ops.pallas.dcn_pl import (_dcn_sample_ref,
+                                          dcn_sample_windowed, hat_matrix)
+
+    b, h, w, cin = x.shape
+    _, ho, wo, kk = sy.shape
+    cout = weight.shape[-1]
+    hp, wp = -(-ho // by) * by, -(-wo // bx) * bx
+    nt = (hp // by) * (wp // bx)
+    t0 = by * bx * kk
+    t = -(-t0 // 8) * 8
+    wdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    w_kco = weight.reshape(kk, cin, cout)
+
+    def reorder(a, fill):
+        a = jnp.pad(a, ((0, 0), (0, hp - ho), (0, wp - wo), (0, 0)),
+                    constant_values=fill)
+        a = a.reshape(b, hp // by, by, wp // bx, bx, kk)
+        a = a.transpose(0, 1, 3, 2, 4, 5).reshape(b, nt, t0)
+        # pad the tile to a sublane multiple with no-support coords
+        return jnp.pad(a, ((0, 0), (0, 0), (0, t - t0)),
+                       constant_values=fill)
+
+    syr = reorder(sy.astype(jnp.float32), -4.0)
+    sxr = reorder(sx.astype(jnp.float32), -4.0)
+    mr = reorder(mask.astype(jnp.float32), 0.0)
+    # pad the map's rows so an 8-ALIGNED window origin can still cover the
+    # bottom: padded rows are zero, which is exactly the zero-pad border
+    # contribution (true hats there are zero; the has-support test keeps
+    # using the real h)
+    h_pad = ((h - _RY + 7) // 8) * 8 + _RY
+    xp = jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    ybase, in_y = _axis_window(syr, h, _RY, 8, max_base=h_pad - _RY)
+    xbase, in_x = _axis_window(sxr, w, _RX, 1)
+    in_w = in_y & in_x
+    esc_r = (~in_w) & (syr > -1.0) & (syr < h) & (sxr > -1.0) & (sxr < w)
+    cnt = esc_r.reshape(b, nt * t).sum(-1)
+    e_budget = min(_ESC_BUDGET, ho * wo * kk)
+
+    def windowed():
+        # escaped samples are zeroed via the folded modulation row and
+        # their contribution scatter-added to the OUTPUT below
+        wy = hat_matrix(syr - ybase[..., None], _RY, dtype=jnp.float32)
+        wy = (wy * (mr * in_w)[..., None]).astype(wdt)
+        wx = hat_matrix(sxr - xbase[..., None], _RX, dtype=wdt)
+        cols = dcn_sample_windowed(xp, wy, wx, ybase, xbase,
+                                   interpret=interpret)
+        # weight contraction in tile layout: [b, nt, positions, kk, cin]
+        cols = cols[:, :, :t0].reshape(b, nt, by * bx, kk, cin)
+        out_t = jnp.einsum("bnpkc,kco->bnpo", cols.astype(wdt),
+                           w_kco.astype(wdt),
+                           preferred_element_type=jnp.float32)
+        out = out_t.reshape(b, hp // by, wp // bx, by, bx, cout)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, cout)
+        out = out[:, :ho, :wo]
+
+        def correct(out):
+            # exact contribution of escaped samples, added at their output
+            # positions. esc flags map back to the ORIGINAL sample order
+            # so indices address sy/sx/mask and the output directly.
+            esc = esc_r.reshape(b, nt, t)[:, :, :t0]
+            esc = esc.reshape(b, hp // by, wp // bx, by, bx, kk)
+            esc = esc.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hp, wp, kk)[:, :ho, :wo].reshape(b, ho * wo * kk)
+            idx = jax.vmap(lambda e: jnp.nonzero(
+                e, size=e_budget, fill_value=0)[0])(esc)
+            valid = jnp.arange(e_budget)[None, :] < cnt[:, None]
+            s = ho * wo * kk
+            take = lambda a: jnp.take_along_axis(
+                a.astype(jnp.float32).reshape(b, s), idx, 1)
+            from tpuseg.ops.sampling import (_bilinear_corners_zeropad,
+                                             _gather_weighted)
+            idx4, w4 = _bilinear_corners_zeropad(take(sy), take(sx), h, w)
+            cols_e = jax.vmap(_gather_weighted)(
+                x.reshape(b, h * w, cin).astype(jnp.float32), idx4, w4)
+            cols_e = cols_e * (take(mask) * valid)[..., None]
+            tap = idx % kk
+            contrib = jnp.zeros((b, e_budget, cout), jnp.float32)
+            for k_ in range(kk):  # static kk matmuls beat a [b,E,kk,cin]
+                ck = cols_e @ w_kco[k_].astype(jnp.float32)
+                contrib = contrib + jnp.where((tap == k_)[..., None], ck, 0)
+            pos = jnp.where(valid, idx // kk, ho * wo)  # invalid -> dropped
+            flat = out.reshape(b, ho * wo, cout)
+            flat = jax.vmap(
+                lambda f, p, cc: f.at[p].add(cc, mode="drop"))(
+                    flat, pos, contrib)
+            return flat.reshape(b, ho, wo, cout)
+
+        return jax.lax.cond(jnp.max(cnt) > 0, correct, lambda o: o, out)
+
+    def dense():
+        # over-budget escape fallback. Uses the jnp einsum formulation, NOT
+        # the dense Pallas kernel: this branch is compiled (cond) for the
+        # big-w*c geometries where the dense kernel's [T, w*c] accumuland
+        # exceeds scoped VMEM — the rare over-budget batch pays an XLA-path
+        # cost instead
+        s = ho * wo * kk
+        wy = hat_matrix(sy.reshape(b, s), h, dtype=jnp.float32)
+        wy = (wy * mask.astype(jnp.float32).reshape(b, s)[..., None]
+              ).astype(wdt)
+        wx = hat_matrix(sx.reshape(b, s), w, dtype=wdt)
+        cols = _dcn_sample_ref(x, wy, wx).reshape(b, ho, wo, kk, cin)
+        return jnp.einsum("bhwkc,kco->bhwo", cols.astype(wdt),
+                          w_kco.astype(wdt),
+                          preferred_element_type=jnp.float32)
+
+    return jax.lax.cond(jnp.max(cnt) <= e_budget, windowed, dense)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _deform_conv_windowed(x, sy, sx, mask, weight, by, bx, interpret):
+    """[B,Ho,Wo,cout] f32 deformable conv (no bias); gradients to
+    x/sy/sx/mask/weight flow through the gather formulation (the same
+    function both forward paths compute — the window kernel is a
+    forward-only acceleration)."""
+    return _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret)
+
+
+def _scw_fwd(x, sy, sx, mask, weight, by, bx, interpret):
+    return (_deform_conv_windowed(x, sy, sx, mask, weight, by, bx,
+                                  interpret),
+            (x, sy, sx, mask, weight))
+
+
+def _scw_bwd(by, bx, interpret, res, dout, chunk=4096):
+    """Chunked backward through the gather formulation: one `jax.vjp` over
+    all S samples materialises a [B, S, 4, c] broadcast temp (2.8 GB for
+    YOLACT++'s stride-2 stage-2 block) — scanning S in chunks (original
+    raster order, a whole number of positions per chunk so the output
+    cotangent slices instead of gathers) and accumulating d_x / d_weight
+    keeps the peak at one chunk's temporaries."""
+    from tpuseg.ops.sampling import (_bilinear_corners_zeropad,
+                                     _gather_weighted)
+
+    x, sy, sx, mask, weight = res
+    b, h, w, cin = x.shape
+    _, ho, wo, kk = sy.shape
+    cout = weight.shape[-1]
+    s = ho * wo * kk
+    chunk = max(kk, (chunk // kk) * kk)  # whole positions per chunk
+    f32 = jnp.float32
+    xf = x.reshape(b, h * w, cin).astype(f32)
+    w_kco = weight.reshape(kk, cin, cout).astype(f32)
+    s_pad = -(-s // chunk) * chunk
+    p_chunk = chunk // kk
+
+    def flat(a):
+        a = jnp.pad(a.astype(f32).reshape(b, s), ((0, 0), (0, s_pad - s)))
+        return a.reshape(b, -1, chunk).transpose(1, 0, 2)
+
+    dof = jnp.pad(dout.astype(f32).reshape(b, ho * wo, cout),
+                  ((0, 0), (0, s_pad // kk - ho * wo), (0, 0)))
+    dof = dof.reshape(b, -1, p_chunk, cout).transpose(1, 0, 2, 3)
+
+    def chunk_out(xflat, w_kco, syk, sxk, mk):
+        # [b, chunk] coords -> conv output contribution [b, p_chunk, cout]
+        idx4, w4 = _bilinear_corners_zeropad(syk, sxk, h, w)
+        cols = jax.vmap(_gather_weighted)(xflat, idx4, w4)
+        cols = cols * mk[..., None]
+        return jnp.einsum("bpkc,kco->bpo",
+                          cols.reshape(b, p_chunk, kk, cin), w_kco)
+
+    def step(acc, args):
+        dx_acc, dw_acc = acc
+        syk, sxk, mk, dok = args
+        dxk, dwk, dsyk, dsxk, dmk = jax.vjp(
+            chunk_out, xf, w_kco, syk, sxk, mk)[1](dok)
+        return (dx_acc + dxk, dw_acc + dwk), (dsyk, dsxk, dmk)
+
+    (dx, dw), (dsy, dsx, dm) = jax.lax.scan(
+        step, (jnp.zeros_like(xf), jnp.zeros_like(w_kco)),
+        (flat(sy), flat(sx), flat(mask), dof))
+
+    def unflat(a, ref):
+        a = a.transpose(1, 0, 2).reshape(b, s_pad)[:, :s]
+        return a.reshape(ref.shape).astype(ref.dtype)
+
+    return (dx.reshape(x.shape).astype(x.dtype), unflat(dsy, sy),
+            unflat(dsx, sx), unflat(dm, mask),
+            dw.reshape(weight.shape).astype(weight.dtype))
+
+
+_deform_conv_windowed.defvjp(_scw_fwd, _scw_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding",
                                              "dilation", "method"))
 def deform_conv2d(
@@ -67,21 +335,28 @@ def deform_conv2d(
         from tpuseg.ops import pallas as pallas_pkg
         from tpuseg.ops.pallas.dcn_pl import dcn_sample, hat_matrix
 
-        s = ho * wo * kk
         wdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-        # modulation is a per-sample scalar — fold it into the y hats
-        wy = hat_matrix(sy.reshape(b, s), h, dtype=jnp.float32)
-        wy = (wy * mask.astype(jnp.float32).reshape(b, s)[..., None]).astype(wdt)
-        wx = hat_matrix(sx.reshape(b, s), w, dtype=wdt)
         # off-TPU an explicit method="onehot" runs the interpreted kernel
         interp = (pallas_pkg.pallas_interpret()
                   or jax.default_backend() != "tpu")
-        cols = dcn_sample(x, wy, wx, True, interp)
-        cols = cols.reshape(b, ho, wo, kk, cin)
-        out = jnp.einsum(
-            "bhwkc,kco->bhwo", cols.astype(wdt),
-            weight.reshape(kk, cin, -1).astype(wdt),
-            preferred_element_type=jnp.float32)
+        geom = _win_geometry(h, w, kk, stride, dilation)
+        if geom is not None:
+            out = _deform_conv_windowed(
+                x, sy, sx, mask.astype(jnp.float32).reshape(b, ho, wo, kk),
+                weight, geom[0], geom[1], interp)
+        else:
+            s = ho * wo * kk
+            # modulation is a per-sample scalar — fold it into the y hats
+            wy = hat_matrix(sy.reshape(b, s), h, dtype=jnp.float32)
+            wy = (wy * mask.astype(jnp.float32).reshape(b, s)[..., None]
+                  ).astype(wdt)
+            wx = hat_matrix(sx.reshape(b, s), w, dtype=wdt)
+            cols = dcn_sample(x, wy, wx, True, interp)
+            cols = cols.reshape(b, ho, wo, kk, cin)
+            out = jnp.einsum(
+                "bhwkc,kco->bhwo", cols.astype(wdt),
+                weight.reshape(kk, cin, -1).astype(wdt),
+                preferred_element_type=jnp.float32)
     else:
         # bilinear sample with zero padding (matches DCNv2 border handling)
         from tpuseg.ops.sampling import (_bilinear_corners_zeropad,

@@ -62,6 +62,11 @@ def _dcn_sample_pallas(feats, wy, wx, tile=128, w_chunk=None,
     b, h, w, c = feats.shape
     s = wy.shape[1]
     if w_chunk is None:
+        # NOTE: chunking (w_chunk < w) requires the wx lane-slice offset to
+        # be 128-aligned — Mosaic rejects the [T, wc] -> [T, wc, 1] reshape
+        # on a misaligned slice. The big-w*c geometries (stride-2 stage-2,
+        # w*c = 17664) go through dcn_sample_windowed instead, which keeps
+        # only an [Ry, Rx*c] window in flight.
         w_chunk = w
     s_pad = -(-s // tile) * tile
     if s_pad != s:
@@ -120,13 +125,112 @@ def _fwd(feats, wy, wx, use_pallas, interpret):
     return dcn_sample(feats, wy, wx, use_pallas, interpret), (feats, wy, wx)
 
 
-def _bwd(use_pallas, interpret, res, dcols):
+def _bwd(use_pallas, interpret, res, dcols, chunk=256):
+    """Hand-written chunked backward of the sampling contraction.
+
+    ``jax.vjp(_dcn_sample_ref, ...)`` is NOT usable here: the forward's
+    ``lax.map`` saves each chunk's ``g = wy_c @ F`` as a residual, so the
+    scan stacks ``[n_chunks, B, chunk, w, c]`` — 24.3 GB for YOLACT++'s
+    stride-2 stage-2 block (S=69·69·9, w=138, c=128, bs=8) and an HBM OOM
+    at compile (round-4 train bench). This scan recomputes the per-chunk
+    intermediates inside the backward instead and accumulates ``d_feats``,
+    keeping the peak at one chunk's temporaries (~300 MB at chunk=256).
+    """
     feats, wy, wx = res
-    _, vjp = jax.vjp(_dcn_sample_ref, feats, wy, wx)
-    return vjp(dcols.astype(jnp.float32))
+    b, h, w, c = feats.shape
+    s = wy.shape[1]
+    f32 = jnp.float32
+    f = feats.astype(f32)
+    s_pad = -(-s // chunk) * chunk
+    pad = ((0, 0), (0, s_pad - s), (0, 0))
+    wy_c = jnp.pad(wy, pad).reshape(b, -1, chunk, h).transpose(1, 0, 2, 3)
+    wx_c = jnp.pad(wx, pad).reshape(b, -1, chunk, w).transpose(1, 0, 2, 3)
+    dc_c = jnp.pad(dcols.astype(f32), pad).reshape(
+        b, -1, chunk, c).transpose(1, 0, 2, 3)
+
+    def step(df_acc, args):
+        wyk, wxk, dck = (a.astype(f32) for a in args)
+        # d_feats[b,h,w,c] += Σ_s wy ⊗ wx ⊗ dcols
+        u = jnp.einsum("bsw,bsc->bswc", wxk, dck)
+        df_acc = df_acc + jnp.einsum("bsh,bswc->bhwc", wyk, u)
+        # d_wy[b,s,h] = Σ_w wx · (Σ_c F · dcols)
+        q = jnp.einsum("bhwc,bsc->bshw", f, dck)
+        d_wy_k = jnp.einsum("bshw,bsw->bsh", q, wxk)
+        # d_wx[b,s,w] = Σ_c (Σ_h wy · F) · dcols
+        g = jnp.einsum("bsh,bhwc->bswc", wyk, f)
+        d_wx_k = jnp.einsum("bswc,bsc->bsw", g, dck)
+        return df_acc, (d_wy_k, d_wx_k)
+
+    df, (d_wy, d_wx) = jax.lax.scan(
+        step, jnp.zeros((b, h, w, c), f32), (wy_c, wx_c, dc_c))
+    d_wy = d_wy.transpose(1, 0, 2, 3).reshape(b, s_pad, h)[:, :s]
+    d_wx = d_wx.transpose(1, 0, 2, 3).reshape(b, s_pad, w)[:, :s]
+    return (df.astype(feats.dtype), d_wy.astype(wy.dtype),
+            d_wx.astype(wx.dtype))
 
 
 dcn_sample.defvjp(_fwd, _bwd)
+
+
+def _make_win_kernel(t, ry, rx, c):
+    def kernel(yb_ref, xb_ref, f_ref, wy_ref, wx_ref, out_ref):
+        # f [1, h, w*c] (whole map, VMEM-resident); wy [1, 1, T, Ry];
+        # wx [1, 1, T, Rx]; out [1, 1, T, c]; yb/xb [B, nt] (SMEM prefetch)
+        bi = pl.program_id(0)
+        si = pl.program_id(1)
+        # yb_ref holds ybase//8: multiplying here lets Mosaic statically
+        # prove the sublane slice offset is 8-aligned
+        yb = yb_ref[bi, si] * 8
+        xb = xb_ref[bi, si]
+        f_win = f_ref[0, pl.ds(yb, ry), pl.ds(xb * c, rx * c)]  # [Ry, Rx*c]
+        g = jnp.dot(wy_ref[0, 0], f_win,
+                    preferred_element_type=jnp.float32)  # [T, Rx*c]
+        wxc = wx_ref[0, 0].astype(jnp.float32)[:, :, None]  # [T, Rx, 1]
+        out_ref[0, 0] = jnp.sum(g.reshape(t, rx, c) * wxc, axis=1).astype(
+            out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret=False):
+    """Window-limited sampling: each tile of T samples contracts only an
+    ``[Ry, Rx*c]`` window of the feature map (its position announced ahead
+    of the grid step via scalar prefetch) instead of the full ``[h, w*c]``
+    map — the dense kernel's MXU/VPU work is ~w/Rx-fold redundant because a
+    bilinear hat has 2 nonzeros per axis. Samples whose support escapes
+    their tile's window must arrive with ZEROED hat rows (the caller
+    computes exact values for them separately — see
+    deform_conv._cols_windowed).
+
+    feats [B,h,w,c]; wy [B,nt,T,Ry]; wx [B,nt,T,Rx]; ybase/xbase [B,nt]
+    int32 window origins (ybase + Ry <= h, xbase + Rx <= w) -> [B,nt,T,c]
+    f32.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = feats.shape
+    _, nt, t, ry = wy.shape
+    rx = wx.shape[3]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, h, w * c), lambda bi, si, yb, xb: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, t, ry),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, t, rx),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, c),
+                               lambda bi, si, yb, xb: (bi, si, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_win_kernel(t, ry, rx, c),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nt, t, c), jnp.float32),
+        interpret=interpret,
+    )(ybase // 8, xbase, feats.reshape(b, h, w * c), wy, wx)
 
 
 def hat_matrix(coords, extent, dtype=jnp.bfloat16):
