@@ -91,10 +91,14 @@ def main():
     t = timeit(jr, (params, c4, hw))
     print(f"RPN+proposals:   {t*1e3:8.2f} ms")
 
-    # stage 3: RoIAlign-14 on the 1000 proposals/img
+    # stage 3: RoIAlign-14 on the 1000 proposals/img. Standalone (no
+    # consumer to fuse into / donate to) the [N, 14, 14, 1024] pooled
+    # buffer at N=8000 OOMs the chip next to the residents above, so the
+    # RoI stages run at half batch and report per-image ms.
+    half = batch // 2
     p = proposals.shape[1]
-    flat_boxes = proposals.reshape(batch * p, 4)
-    flat_bidx = jnp.repeat(jnp.arange(batch), p)
+    flat_boxes = proposals[:half].reshape(half * p, 4)
+    flat_bidx = jnp.repeat(jnp.arange(half), p)
 
     def s_pool(c4, fb, bi):
         return sampling.roi_align(
@@ -103,9 +107,9 @@ def main():
             sampling_ratio=cfg.pooler_sampling_ratio, group_size=p)
 
     jp = jax.jit(s_pool)
-    pooled = jp(c4, flat_boxes, flat_bidx)
-    t = timeit(jp, (c4, flat_boxes, flat_bidx))
-    print(f"RoIAlign 14x14 ({batch*p} rois): {t*1e3:8.2f} ms")
+    pooled = jp(c4[:half], flat_boxes, flat_bidx)
+    t = timeit(jp, (c4[:half], flat_boxes, flat_bidx))
+    print(f"RoIAlign 14x14 ({p} rois/img): {t/half*1e3:8.2f} ms/img")
 
     # stage 4: res5 on pooled rois + box predictor
     def s_res5(p_, pooled):
@@ -120,13 +124,13 @@ def main():
     j5(params, pooled)
     t = timeit(j5, (params, pooled))
     fl = flops_of(s_res5, params, pooled)
-    print(f"res5+box head ({batch*p} rois): {t*1e3:8.2f} ms  "
-          f"{fl/t/197e12*100:5.1f}% MFU  ({fl/1e12:.2f} TF)")
+    print(f"res5+box head ({p} rois/img): {t/half*1e3:8.2f} ms/img  "
+          f"{fl/t/197e12*100:5.1f}% MFU  ({fl/half/1e12:.2f} TF/img)")
 
     # stage 5: mask branch (RoIAlign + res5 again on 100 dets/img)
     d = cfg.detections_per_img
-    det_boxes = proposals[:, :d].reshape(batch * d, 4)
-    det_bidx = jnp.repeat(jnp.arange(batch), d)
+    det_boxes = proposals[:half, :d].reshape(half * d, 4)
+    det_bidx = jnp.repeat(jnp.arange(half), d)
 
     def s_mask(p_, c4, fb, bi):
         mpool = sampling.roi_align(
@@ -136,9 +140,9 @@ def main():
         return M4.res5_head(p_["roi_head"], mpool, cfg)
 
     jm = jax.jit(s_mask)
-    jm(params, c4, det_boxes, det_bidx)
-    t = timeit(jm, (params, c4, det_boxes, det_bidx))
-    print(f"mask branch ({batch*d} dets): {t*1e3:8.2f} ms")
+    jm(params, c4[:half], det_boxes, det_bidx)
+    t = timeit(jm, (params, c4[:half], det_boxes, det_bidx))
+    print(f"mask branch ({d} dets/img): {t/half*1e3:8.2f} ms/img")
 
 
 if __name__ == "__main__":

@@ -302,3 +302,87 @@ def test_grid_sample_dense_path_matches_gather(rng):
     finally:
         S._DENSE_GRID_SAMPLE_MAX = old
     np.testing.assert_allclose(dense, gather, rtol=1e-5, atol=1e-6)
+
+
+def _affine_ref(feat, theta, out):
+    """Reference affine_align: affine_grid + per-person gather grid_sample
+    (the pre-windowed formulation)."""
+    import jax
+
+    b, h, w, c = feat.shape
+    n = theta.shape[1]
+    grid = S.affine_grid(theta.reshape(b * n, 2, 3), out, out).reshape(
+        b, n, out, out, 2)
+    old = S._DENSE_GRID_SAMPLE_MAX
+    try:
+        S._DENSE_GRID_SAMPLE_MAX = 0  # force the gather path
+        return jax.vmap(lambda g: S.grid_sample(feat, g),
+                        in_axes=1, out_axes=1)(grid)
+    finally:
+        S._DENSE_GRID_SAMPLE_MAX = old
+
+
+def _windowed_thetas(rng, b, n):
+    """Mix of rotated/scaled/translated crops, some spilling off-map and
+    one at a scale large enough to escape the 8x8-tile window slack."""
+    th = np.zeros((b, n, 2, 3), np.float32)
+    for bi in range(b):
+        for ni in range(n):
+            ang = rng.uniform(0, 2 * np.pi)
+            sc = rng.uniform(0.2, 0.9)
+            ca, sa = np.cos(ang) * sc, np.sin(ang) * sc
+            th[bi, ni] = [[ca, -sa, rng.uniform(-0.9, 0.9)],
+                          [sa, ca, rng.uniform(-0.9, 0.9)]]
+    th[0, 0] = [[2.5, 0.0, 0.0], [0.0, 2.5, 0.0]]  # escape-heavy crop
+    return th
+
+
+def test_affine_align_windowed_matches_gather(rng):
+    """Eligible geometry (c=128, map > dense cutoff) routes through
+    sample_cols_windowed; result must equal the gather formulation,
+    including rotated crops, off-map spill, and window escapes."""
+    b, n, out = 2, 2, 16
+    feat = jnp.asarray(
+        rng.standard_normal((b, 40, 40, 128)).astype(np.float32))
+    assert S._affine_align_eligible(40, 40, 128, out, 4)
+    theta = jnp.asarray(_windowed_thetas(rng, b, n))
+    got = np.asarray(S.affine_align(feat, theta, out))
+    want = np.asarray(_affine_ref(feat, theta, out))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_affine_align_windowed_grads_match_gather(rng):
+    import jax
+
+    b, n, out = 1, 2, 16
+    feat = jnp.asarray(
+        rng.standard_normal((b, 40, 40, 128)).astype(np.float32))
+    theta = jnp.asarray(_windowed_thetas(rng, b, n))
+    cot = jnp.asarray(
+        rng.standard_normal((b, n, out, out, 128)).astype(np.float32))
+
+    g_win = jax.grad(
+        lambda f, t: jnp.sum(S.affine_align(f, t, out) * cot),
+        argnums=(0, 1))(feat, theta)
+    g_ref = jax.grad(
+        lambda f, t: jnp.sum(_affine_ref(f, t, out) * cot),
+        argnums=(0, 1))(feat, theta)
+    for a, bb, name in zip(g_win, g_ref, ("features", "theta")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_sample_cols_windowed_overbudget_falls_back(rng):
+    """More escapes than the budget -> the cond picks the dense gather
+    branch; result stays exact."""
+    b, h, w, c = 1, 40, 40, 128
+    feat = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    # scatter samples uniformly: tiles get wildly spread coords -> most
+    # samples escape their tile window
+    sy = jnp.asarray(rng.uniform(-2, h + 2, (b, 4, 64)).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-2, w + 2, (b, 4, 64)).astype(np.float32))
+    got = np.asarray(S.sample_cols_windowed(feat, sy, sx, esc_budget=8,
+                                            interpret=True))
+    want = np.asarray(S._cols_gather_flat(
+        feat, sy.reshape(b, -1), sx.reshape(b, -1))).reshape(got.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

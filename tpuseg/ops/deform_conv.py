@@ -71,30 +71,7 @@ def _cols_gather(x, sy, sx, mask):
     return cols * mask.astype(jnp.float32)[..., None]
 
 
-def _axis_window(coords, extent, r, align, max_base=None):
-    """Per-tile window origin + per-sample in-window flag for one axis.
-
-    coords [B, nt, T]; a sample's hat support is {floor(c), floor(c)+1} ∩
-    [0, extent). ``max_base`` is the largest allowed origin — when the
-    axis is padded so aligned windows can reach the bottom rows, it is
-    already a multiple of ``align`` (else align-down of extent-r would
-    strand the last rows outside every window: measured 3485/42849
-    always-escaping samples on the 69x69 stage at ZERO offsets, which sent
-    the whole batch down the dense fallback). Returns (base [B, nt] int32,
-    in_window [B, nt, T] bool — vacuously true for samples with no support
-    on this axis)."""
-    if max_base is None:
-        max_base = max(extent - r, 0)
-    c0 = jnp.floor(coords)
-    has = (coords > -1.0) & (coords < extent)
-    lo = jnp.clip(c0, 0, extent - 1)
-    hi = jnp.clip(c0 + 1, 0, extent - 1)
-    base = jnp.min(jnp.where(has, lo, extent), axis=-1)
-    base = jnp.clip(base, 0, max_base)
-    base = ((base.astype(jnp.int32) // align) * align)
-    bb = base[..., None].astype(jnp.float32)
-    in_w = (~has) | ((lo >= bb) & (hi <= bb + (r - 1)))
-    return base, in_w
+# _axis_window lives in ops.sampling (shared with sample_cols_windowed)
 
 
 def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
@@ -112,6 +89,7 @@ def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
     """
     from tpuseg.ops.pallas.dcn_pl import (_dcn_sample_ref,
                                           dcn_sample_windowed, hat_matrix)
+    from tpuseg.ops.sampling import _axis_window
 
     b, h, w, cin = x.shape
     _, ho, wo, kk = sy.shape

@@ -172,7 +172,9 @@ def _bwd(use_pallas, interpret, res, dcols, chunk=256):
 dcn_sample.defvjp(_fwd, _bwd)
 
 
-def _make_win_kernel(t, ry, rx, c):
+def _make_win_kernel(t, ry, rx, c, rx_chunk):
+    n_ch = -(-rx // rx_chunk)
+
     def kernel(yb_ref, xb_ref, f_ref, wy_ref, wx_ref, out_ref):
         # f [1, h, w*c] (whole map, VMEM-resident); wy [1, 1, T, Ry];
         # wx [1, 1, T, Rx]; out [1, 1, T, c]; yb/xb [B, nt] (SMEM prefetch)
@@ -182,12 +184,27 @@ def _make_win_kernel(t, ry, rx, c):
         # prove the sublane slice offset is 8-aligned
         yb = yb_ref[bi, si] * 8
         xb = xb_ref[bi, si]
-        f_win = f_ref[0, pl.ds(yb, ry), pl.ds(xb * c, rx * c)]  # [Ry, Rx*c]
-        g = jnp.dot(wy_ref[0, 0], f_win,
-                    preferred_element_type=jnp.float32)  # [T, Rx*c]
-        wxc = wx_ref[0, 0].astype(jnp.float32)[:, :, None]  # [T, Rx, 1]
-        out_ref[0, 0] = jnp.sum(g.reshape(t, rx, c) * wxc, axis=1).astype(
-            out_ref.dtype)
+        wy = wy_ref[0, 0]
+        # the window contraction runs in rx chunks: at the Pose2Seg
+        # geometry (Rx*c = 8192, T=64) a whole-window f32 ``g`` costs
+        # ~6 MB of scoped VMEM next to the 8.4 MB resident map — over the
+        # 16 MB limit. (A bf16 ``g`` is not an option: Mosaic requires
+        # 32-bit matmul accumulators.)
+        # insert the minor dim BEFORE slicing: the [T, k] -> [T, k, 1]
+        # reshape is only supported on unsliced values (cf. the w_chunk
+        # note in _dcn_sample_pallas); the [T, Rx, 1] transpose puts k on
+        # sublanes where 8-aligned slicing is legal
+        wxc_all = wx_ref[0, 0].astype(jnp.float32)[:, :, None]  # [T, Rx, 1]
+        acc = jnp.zeros((t, c), jnp.float32)
+        for ci in range(n_ch):
+            k = min(rx_chunk, rx - ci * rx_chunk)
+            f_win = f_ref[0, pl.ds(yb, ry),
+                          pl.ds((xb + ci * rx_chunk) * c, k * c)]
+            g = jnp.dot(wy, f_win,
+                        preferred_element_type=jnp.float32)  # [T, k*c]
+            wxc = wxc_all[:, ci * rx_chunk:ci * rx_chunk + k, :]
+            acc = acc + jnp.sum(g.reshape(t, k, c) * wxc, axis=1)
+        out_ref[0, 0] = acc.astype(out_ref.dtype)
 
     return kernel
 
@@ -225,11 +242,19 @@ def dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret=False):
         out_specs=pl.BlockSpec((1, 1, t, c),
                                lambda bi, si, yb, xb: (bi, si, 0, 0)),
     )
+    # chunk the x window so the f32 [T, k*c] matmul output stays ~2 MB
+    rx_chunk = min(rx, max(1, 2048 // c))
     return pl.pallas_call(
-        _make_win_kernel(t, ry, rx, c),
+        _make_win_kernel(t, ry, rx, c, rx_chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nt, t, c), jnp.float32),
         interpret=interpret,
+        # the VMEM-resident map (8.4 MB at Pose2Seg's 128x128x256 bf16)
+        # plus the unrolled chunk temporaries overruns the 16 MB default
+        # scoped-vmem budget by ~0.2 MB in some surrounding-program
+        # contexts; v5e has 128 MB of physical VMEM — raise the cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(ybase // 8, xbase, feats.reshape(b, h, w * c), wy, wx)
 
 

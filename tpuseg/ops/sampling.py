@@ -289,14 +289,24 @@ def _roi_align_matmul(features, ys, xs, vy, vx, inv_gh, inv_gw, group_size,
     ax_ch = ax_g.reshape(b * ncr, rc, p, w)
     img_of_chunk = jnp.repeat(jnp.arange(b, dtype=jnp.int32), ncr)
 
+    # contract x FIRST (w -> p shrinks the materialized intermediate by
+    # w/h vs y-first) and store it in the feature dtype: the per-chunk
+    # [rc, p, h, c] buffer is what this formulation is bound on — profile
+    # (results/profile_c4.py) measured the y-first f32 variant at
+    # 13.9 ms/img (9.6 GB/img of HBM round-trip at C4's 50x84x1024 map);
+    # x-first + bf16 store cuts the traffic ~3.3x. bf16 storage adds only
+    # feature-quantization-order error and only on the bf16 inference
+    # path; f32 features keep an exact f32 chain.
+    ft_all = features.transpose(0, 2, 1, 3).reshape(b, w, h * c)
+
     def one(args):
         ayc, axc, bi = args
-        f2 = jax.lax.dynamic_index_in_dim(
-            features, bi, axis=0, keepdims=False).reshape(h, w * c)
-        rows = jnp.einsum("rph,hk->rpk", ayc.astype(dt), f2,
-                          preferred_element_type=jnp.float32)
-        rows = rows.reshape(rc, p, w, c)
-        out = jnp.einsum("rpwc,rqw->rpqc", rows.astype(dt), axc.astype(dt),
+        ft = jax.lax.dynamic_index_in_dim(
+            ft_all, bi, axis=0, keepdims=False)  # [w, h*c]
+        cols = jnp.einsum("rqw,wk->rqk", axc.astype(dt), ft,
+                          preferred_element_type=dt)
+        cols = cols.reshape(rc, p, h, c)
+        out = jnp.einsum("rqhc,rph->rpqc", cols, ayc.astype(dt),
                          preferred_element_type=jnp.float32)
         return out.astype(dt)
 
@@ -579,6 +589,189 @@ def affine_grid(theta: jax.Array, out_h: int, out_w: int, align_corners=False):
     return jnp.einsum("hwk,bjk->bhwj", base, theta)
 
 
+# --------------------------------------------------------------------------
+# Windowed point sampling (shared TPU fast path; also used by deform_conv)
+# --------------------------------------------------------------------------
+
+_WIN_RY, _WIN_RX = 32, 32  # window rows/cols for sample_cols_windowed
+# feature maps above this (padded) byte size can't sit VMEM-resident for
+# the window kernel; callers fall back to the gather formulation
+_WIN_VMEM_BUDGET = 10 * 2**20
+
+
+def _axis_window(coords, extent, r, align, max_base=None):
+    """Per-tile window origin + per-sample in-window flag for one axis.
+
+    coords [B, nt, T]; a sample's hat support is {floor(c), floor(c)+1} ∩
+    [0, extent). ``max_base`` is the largest allowed origin — when the
+    axis is padded so aligned windows can reach the bottom rows, it is
+    already a multiple of ``align`` (else align-down of extent-r would
+    strand the last rows outside every window: measured 3485/42849
+    always-escaping samples on the 69x69 stage at ZERO offsets, which sent
+    the whole batch down the dense fallback). Returns (base [B, nt] int32,
+    in_window [B, nt, T] bool — vacuously true for samples with no support
+    on this axis)."""
+    if max_base is None:
+        max_base = max(extent - r, 0)
+    c0 = jnp.floor(coords)
+    has = (coords > -1.0) & (coords < extent)
+    lo = jnp.clip(c0, 0, extent - 1)
+    hi = jnp.clip(c0 + 1, 0, extent - 1)
+    base = jnp.min(jnp.where(has, lo, extent), axis=-1)
+    base = jnp.clip(base, 0, max_base)
+    base = ((base.astype(jnp.int32) // align) * align)
+    bb = base[..., None].astype(jnp.float32)
+    in_w = (~has) | ((lo >= bb) & (hi <= bb + (r - 1)))
+    return base, in_w
+
+
+def _cols_gather_flat(features, sy, sx):
+    """Gather formulation of point sampling (zero-padding border):
+    features [B,h,w,c], sy/sx [B,S] pixel coords -> [B,S,c] f32. The
+    reference semantics for the windowed path and its backward rule."""
+    b, h, w, c = features.shape
+    idx4, w4 = _bilinear_corners_zeropad(
+        sy.astype(jnp.float32), sx.astype(jnp.float32), h, w)
+    return jax.vmap(_gather_weighted)(
+        features.reshape(b, h * w, c).astype(jnp.float32), idx4, w4)
+
+
+def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret):
+    from tpuseg.ops.pallas.dcn_pl import dcn_sample_windowed, hat_matrix
+
+    b, h, w, c = features.shape
+    _, nt, t = sy.shape
+    s = nt * t
+    ry, rx = _WIN_RY, _WIN_RX
+    # x window origins must keep the kernel's lane-slice offset (xb*c)
+    # 128-aligned
+    ax = 128 // int(np.gcd(c, 128))
+    # pad the map's rows so an 8-ALIGNED y window origin can still cover
+    # the bottom: padded rows are zero = the zero-pad border contribution
+    h_pad = ((max(h - ry, 0) + 7) // 8) * 8 + ry
+    fp = jnp.pad(features, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    syf = sy.astype(jnp.float32)
+    sxf = sx.astype(jnp.float32)
+    ybase, in_y = _axis_window(syf, h, ry, 8, max_base=h_pad - ry)
+    xbase, in_x = _axis_window(sxf, w, rx, ax,
+                               max_base=(max(w - rx, 0) // ax) * ax)
+    in_w = in_y & in_x
+    esc = (~in_w) & (syf > -1.0) & (syf < h) & (sxf > -1.0) & (sxf < w)
+    cnt = esc.reshape(b, s).sum(-1)
+    eb = min(esc_budget, s)
+
+    def windowed():
+        wdt = features.dtype
+        wy = hat_matrix(syf - ybase[..., None].astype(jnp.float32), ry,
+                        dtype=jnp.float32)
+        wy = (wy * in_w.astype(jnp.float32)[..., None]).astype(wdt)
+        wx = hat_matrix(sxf - xbase[..., None].astype(jnp.float32), rx,
+                        dtype=wdt)
+        cols = dcn_sample_windowed(fp, wy, wx, ybase, xbase,
+                                   interpret=interpret)
+
+        def correct(cols):
+            # exact values for escaped samples, scattered over the zeroed
+            # rows the kernel produced for them
+            idx = jax.vmap(lambda e: jnp.nonzero(
+                e, size=eb, fill_value=s)[0])(esc.reshape(b, s))
+            take = lambda a: jnp.take_along_axis(
+                a.reshape(b, s), jnp.minimum(idx, s - 1), 1)
+            vals = _cols_gather_flat(features, take(syf), take(sxf))
+            flat = cols.reshape(b, s, c)
+            flat = jax.vmap(
+                lambda f, i, v: f.at[i].set(v, mode="drop"))(
+                    flat, idx, vals)
+            return flat.reshape(b, nt, t, c)
+
+        return jax.lax.cond(jnp.max(cnt) > 0, correct, lambda x: x, cols)
+
+    def dense():
+        return _cols_gather_flat(
+            features, syf.reshape(b, s), sxf.reshape(b, s)
+        ).reshape(b, nt, t, c)
+
+    return jax.lax.cond(jnp.max(cnt) <= eb, windowed, dense)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False):
+    """Window-limited bilinear point sampling on the MXU.
+
+    features [B,h,w,c]; sy/sx [B,nt,T] pixel coords, pre-tiled so each
+    tile's T samples are spatially coherent (the caller's job — e.g.
+    8x8 output blocks of an affine crop). Each tile contracts only a
+    [_WIN_RY, _WIN_RX*c] window of the map (Pallas kernel, map
+    VMEM-resident per image); samples whose 2x2 support escapes their
+    tile's window get exact gather values scattered over the kernel's
+    zeros, and a batch with more than ``esc_budget`` escapes falls back
+    to the full gather formulation. Zero-padding border semantics
+    (torch grid_sample padding_mode='zeros'). Gradients flow through the
+    gather formulation (chunked scan). Returns [B,nt,T,c] f32.
+    """
+    return _sample_cols_windowed_impl(features, sy, sx, esc_budget,
+                                      interpret)
+
+
+def _scs_fwd(features, sy, sx, esc_budget, interpret):
+    return (sample_cols_windowed(features, sy, sx, esc_budget, interpret),
+            (features, sy, sx))
+
+
+def _scs_bwd(esc_budget, interpret, res, dcols, chunk=4096):
+    """Chunked backward through the gather formulation: one whole-S
+    ``jax.vjp`` materialises a [B, S, 4, c] broadcast temp (4.3 GB at
+    Pose2Seg's 16x16x64x64x256 align), so the scan recomputes per-chunk
+    and accumulates d_features."""
+    features, sy, sx = res
+    b, h, w, c = features.shape
+    _, nt, t = sy.shape
+    s = nt * t
+    f32 = jnp.float32
+    ff = features.reshape(b, h * w, c).astype(f32)
+    s_pad = -(-s // chunk) * chunk
+
+    def flat(a):
+        a = jnp.pad(a.astype(f32).reshape(b, s), ((0, 0), (0, s_pad - s)))
+        return a.reshape(b, -1, chunk).transpose(1, 0, 2)
+
+    dc = jnp.pad(dcols.astype(f32).reshape(b, s, c),
+                 ((0, 0), (0, s_pad - s), (0, 0)))
+    dc = dc.reshape(b, -1, chunk, c).transpose(1, 0, 2, 3)
+
+    def chunk_cols(ff_, syk, sxk):
+        idx4, w4 = _bilinear_corners_zeropad(syk, sxk, h, w)
+        return jax.vmap(_gather_weighted)(ff_, idx4, w4)
+
+    def step(df_acc, args):
+        syk, sxk, dck = args
+        dfk, dsyk, dsxk = jax.vjp(chunk_cols, ff, syk, sxk)[1](dck)
+        return df_acc + dfk, (dsyk, dsxk)
+
+    df, (dsy, dsx) = jax.lax.scan(
+        step, jnp.zeros_like(ff), (flat(sy), flat(sx), dc))
+
+    def unflat(a, ref):
+        a = a.transpose(1, 0, 2).reshape(b, s_pad)[:, :s]
+        return a.reshape(ref.shape).astype(ref.dtype)
+
+    return (df.reshape(features.shape).astype(features.dtype),
+            unflat(dsy, sy), unflat(dsx, sx))
+
+
+sample_cols_windowed.defvjp(_scs_fwd, _scs_bwd)
+
+
+def _affine_align_eligible(h, w, c, out_size, itemsize):
+    """The windowed sampler pays off when the map is big enough that the
+    dense one-hot path is out of the question but still fits VMEM."""
+    h_pad = ((max(h - _WIN_RY, 0) + 7) // 8) * 8 + _WIN_RY
+    return (out_size % 8 == 0 and h >= _WIN_RY and w >= _WIN_RX
+            and c % 128 == 0
+            and h * w * c > _DENSE_GRID_SAMPLE_MAX
+            and h_pad * w * c * itemsize <= _WIN_VMEM_BUDGET)
+
+
 def affine_align(
     features: jax.Array,
     theta: jax.Array,
@@ -589,12 +782,46 @@ def affine_align(
 
     features [B,H,W,C]; theta [B,N,2,3] normalized affine matrices
     (one per person slot, padded) -> [B,N,out,out,C].
+
+    For big-but-VMEM-resident maps (the Pose2Seg bf16 geometry,
+    128x128x256) the per-sample gathers are HBM-bound — 87 ms of the
+    192 ms pipeline (results/profile_pose2seg.py). Affine crop samples
+    are spatially coherent, so 8x8 output blocks route through
+    :func:`sample_cols_windowed` ([32, 32*C] windows on the MXU); crops
+    whose scale outruns the window slack self-correct via the escape
+    path (Pose2Seg's scale is bounded by the person fitting the canvas:
+    <= ~2 source px per output px at 128->64).
     """
     b, h, w, c = features.shape
     n = theta.shape[1]
     grid = affine_grid(
         theta.reshape(b * n, 2, 3), out_size, out_size, align_corners
     ).reshape(b, n, out_size, out_size, 2)
+    if _affine_align_eligible(h, w, c, out_size, features.dtype.itemsize):
+        from tpuseg.ops import pallas as pallas_pkg
+
+        gx, gy = grid[..., 0], grid[..., 1]
+        if align_corners:
+            x = (gx + 1.0) * 0.5 * (w - 1)
+            y = (gy + 1.0) * 0.5 * (h - 1)
+        else:
+            x = ((gx + 1.0) * w - 1.0) * 0.5
+            y = ((gy + 1.0) * h - 1.0) * 0.5
+        by = bx = 8
+        o = out_size
+
+        def tile(a):  # [B, N, O, O] -> [B, N*(O/8)^2, 64]
+            a = a.reshape(b, n, o // by, by, o // bx, bx)
+            return a.transpose(0, 1, 2, 4, 3, 5).reshape(
+                b, n * (o // by) * (o // bx), by * bx)
+
+        interp = (pallas_pkg.pallas_interpret()
+                  or jax.default_backend() != "tpu")
+        cols = sample_cols_windowed(features, tile(y), tile(x),
+                                    interpret=interp)
+        cols = cols.reshape(b, n, o // by, o // bx, by, bx, c)
+        out = cols.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, n, o, o, c)
+        return out.astype(features.dtype)
     # vmap over the person axis with the feature map SHARED: an explicit
     # jnp.repeat(features, n) would materialize an N-fold copy of the map
     # in HBM (256 MB/image at Pose2Seg's 512 canvas, max_people=16) just
