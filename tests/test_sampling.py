@@ -386,3 +386,13 @@ def test_sample_cols_windowed_overbudget_falls_back(rng):
     want = np.asarray(S._cols_gather_flat(
         feat, sy.reshape(b, -1), sx.reshape(b, -1))).reshape(got.shape)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_affine_align_eligibility_pose2seg_geometry():
+    """The real Pose2Seg geometry (128x128x256 map, 64-crop) must route
+    bf16 through the windowed sampler and f32 (16.7 MB map — over the
+    VMEM residency budget) through the exact gather path."""
+    assert S._affine_align_eligible(128, 128, 256, 64, 2)       # bf16
+    assert not S._affine_align_eligible(128, 128, 256, 64, 4)   # f32
+    # odd channel counts can't keep the kernel's lane slices aligned
+    assert not S._affine_align_eligible(128, 128, 311, 64, 2)
