@@ -87,8 +87,7 @@ def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
     pays nothing. If any image escapes more than the correction budget the
     whole batch falls back to the jnp einsum formulation (exact, slower).
     """
-    from tpuseg.ops.pallas.dcn_pl import (_dcn_sample_ref,
-                                          dcn_sample_windowed, hat_matrix)
+    from tpuseg.ops.pallas.dcn_pl import dcn_sample_windowed, hat_matrix
     from tpuseg.ops.sampling import _axis_window
 
     b, h, w, cin = x.shape
@@ -178,98 +177,26 @@ def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
         return jax.lax.cond(jnp.max(cnt) > 0, correct, lambda o: o, out)
 
     def dense():
-        # over-budget escape fallback. Uses the jnp einsum formulation, NOT
-        # the dense Pallas kernel: this branch is compiled (cond) for the
-        # big-w*c geometries where the dense kernel's [T, w*c] accumuland
-        # exceeds scoped VMEM — the rare over-budget batch pays an XLA-path
-        # cost instead
+        # over-budget escape fallback. Uses the jnp einsum formulation
+        # through dcn_sample's chunked-scan VJP (memory-safe under
+        # autodiff), NOT the dense Pallas kernel: this branch is compiled
+        # (cond) for the big-w*c geometries where the dense kernel's
+        # [T, w*c] accumuland exceeds scoped VMEM — the rare over-budget
+        # batch pays an XLA-path cost instead
+        from tpuseg.ops.pallas.dcn_pl import dcn_sample
+
         s = ho * wo * kk
         wy = hat_matrix(sy.reshape(b, s), h, dtype=jnp.float32)
         wy = (wy * mask.astype(jnp.float32).reshape(b, s)[..., None]
               ).astype(wdt)
         wx = hat_matrix(sx.reshape(b, s), w, dtype=wdt)
-        cols = _dcn_sample_ref(x, wy, wx).reshape(b, ho, wo, kk, cin)
+        cols = dcn_sample(x, wy, wx, False, interpret).reshape(
+            b, ho, wo, kk, cin)
         return jnp.einsum("bhwkc,kco->bhwo", cols.astype(wdt),
                           w_kco.astype(wdt),
                           preferred_element_type=jnp.float32)
 
     return jax.lax.cond(jnp.max(cnt) <= e_budget, windowed, dense)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _deform_conv_windowed(x, sy, sx, mask, weight, by, bx, interpret):
-    """[B,Ho,Wo,cout] f32 deformable conv (no bias); gradients to
-    x/sy/sx/mask/weight flow through the gather formulation (the same
-    function both forward paths compute — the window kernel is a
-    forward-only acceleration)."""
-    return _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret)
-
-
-def _scw_fwd(x, sy, sx, mask, weight, by, bx, interpret):
-    return (_deform_conv_windowed(x, sy, sx, mask, weight, by, bx,
-                                  interpret),
-            (x, sy, sx, mask, weight))
-
-
-def _scw_bwd(by, bx, interpret, res, dout, chunk=4096):
-    """Chunked backward through the gather formulation: one `jax.vjp` over
-    all S samples materialises a [B, S, 4, c] broadcast temp (2.8 GB for
-    YOLACT++'s stride-2 stage-2 block) — scanning S in chunks (original
-    raster order, a whole number of positions per chunk so the output
-    cotangent slices instead of gathers) and accumulating d_x / d_weight
-    keeps the peak at one chunk's temporaries."""
-    from tpuseg.ops.sampling import (_bilinear_corners_zeropad,
-                                     _gather_weighted)
-
-    x, sy, sx, mask, weight = res
-    b, h, w, cin = x.shape
-    _, ho, wo, kk = sy.shape
-    cout = weight.shape[-1]
-    s = ho * wo * kk
-    chunk = max(kk, (chunk // kk) * kk)  # whole positions per chunk
-    f32 = jnp.float32
-    xf = x.reshape(b, h * w, cin).astype(f32)
-    w_kco = weight.reshape(kk, cin, cout).astype(f32)
-    s_pad = -(-s // chunk) * chunk
-    p_chunk = chunk // kk
-
-    def flat(a):
-        a = jnp.pad(a.astype(f32).reshape(b, s), ((0, 0), (0, s_pad - s)))
-        return a.reshape(b, -1, chunk).transpose(1, 0, 2)
-
-    dof = jnp.pad(dout.astype(f32).reshape(b, ho * wo, cout),
-                  ((0, 0), (0, s_pad // kk - ho * wo), (0, 0)))
-    dof = dof.reshape(b, -1, p_chunk, cout).transpose(1, 0, 2, 3)
-
-    def chunk_out(xflat, w_kco, syk, sxk, mk):
-        # [b, chunk] coords -> conv output contribution [b, p_chunk, cout]
-        idx4, w4 = _bilinear_corners_zeropad(syk, sxk, h, w)
-        cols = jax.vmap(_gather_weighted)(xflat, idx4, w4)
-        cols = cols * mk[..., None]
-        return jnp.einsum("bpkc,kco->bpo",
-                          cols.reshape(b, p_chunk, kk, cin), w_kco)
-
-    def step(acc, args):
-        dx_acc, dw_acc = acc
-        syk, sxk, mk, dok = args
-        dxk, dwk, dsyk, dsxk, dmk = jax.vjp(
-            chunk_out, xf, w_kco, syk, sxk, mk)[1](dok)
-        return (dx_acc + dxk, dw_acc + dwk), (dsyk, dsxk, dmk)
-
-    (dx, dw), (dsy, dsx, dm) = jax.lax.scan(
-        step, (jnp.zeros_like(xf), jnp.zeros_like(w_kco)),
-        (flat(sy), flat(sx), flat(mask), dof))
-
-    def unflat(a, ref):
-        a = a.transpose(1, 0, 2).reshape(b, s_pad)[:, :s]
-        return a.reshape(ref.shape).astype(ref.dtype)
-
-    return (dx.reshape(x.shape).astype(x.dtype), unflat(dsy, sy),
-            unflat(dsx, sx), unflat(dm, mask),
-            dw.reshape(weight.shape).astype(weight.dtype))
-
-
-_deform_conv_windowed.defvjp(_scw_fwd, _scw_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "stride", "padding",
@@ -319,9 +246,19 @@ def deform_conv2d(
                   or jax.default_backend() != "tpu")
         geom = _win_geometry(h, w, kk, stride, dilation)
         if geom is not None:
-            out = _deform_conv_windowed(
+            # differentiable throughout: the window kernel carries its own
+            # transposed-kernel VJP; the escape correction and the einsum
+            # contraction are plain autodiff; the over-budget fallback
+            # routes through dcn_sample's chunked-scan VJP. checkpoint
+            # keeps residuals at the primals — plain autodiff would save
+            # each block's [B, S, cin] sampled columns for the weight
+            # grad (~180 MB f32/block, HBM-OOM across YOLACT++'s 13
+            # blocks); the replayed forward is one cheap kernel pass
+            out = jax.checkpoint(
+                lambda *a: _deform_out_windowed(*a, geom[0], geom[1],
+                                                interp))(
                 x, sy, sx, mask.astype(jnp.float32).reshape(b, ho, wo, kk),
-                weight, geom[0], geom[1], interp)
+                weight)
         else:
             s = ho * wo * kk
             # modulation is a per-sample scalar — fold it into the y hats

@@ -209,21 +209,7 @@ def _make_win_kernel(t, ry, rx, c, rx_chunk):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret=False):
-    """Window-limited sampling: each tile of T samples contracts only an
-    ``[Ry, Rx*c]`` window of the feature map (its position announced ahead
-    of the grid step via scalar prefetch) instead of the full ``[h, w*c]``
-    map — the dense kernel's MXU/VPU work is ~w/Rx-fold redundant because a
-    bilinear hat has 2 nonzeros per axis. Samples whose support escapes
-    their tile's window must arrive with ZEROED hat rows (the caller
-    computes exact values for them separately — see
-    deform_conv._cols_windowed).
-
-    feats [B,h,w,c]; wy [B,nt,T,Ry]; wx [B,nt,T,Rx]; ybase/xbase [B,nt]
-    int32 window origins (ybase + Ry <= h, xbase + Rx <= w) -> [B,nt,T,c]
-    f32.
-    """
+def _win_call(feats, wy, wx, ybase, xbase, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = feats.shape
@@ -256,6 +242,156 @@ def dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret=False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
     )(ybase // 8, xbase, feats.reshape(b, h, w * c), wy, wx)
+
+
+def _make_win_bwd_kernel(t, ry, rx, c, rx_chunk):
+    """Transpose of the window kernel, all three cotangents in one pass:
+
+        d_wx[t, k]    = Σ_c (wy @ win)[t, k, c] · dc[t, c]   (fwd recompute)
+        U[t, k·c]     = wx ⊗ dc
+        d_wy[t, ry]  += U @ winᵀ
+        d_win        += wyᵀ @ U     (accumulated into the VMEM-resident
+                                     per-image d_map; grid steps execute
+                                     sequentially, so overlapping windows
+                                     accumulate without races)
+
+    Escaped samples arrive with zero wy rows AND zero dc rows (the escape
+    correction's ``.set`` cuts their cotangent), so every escaped
+    contribution here is exactly zero.
+    """
+    n_ch = -(-rx // rx_chunk)
+
+    def kernel(yb_ref, xb_ref, f_ref, wy_ref, wx_ref, dc_ref,
+               dwy_ref, dwx_ref, df_ref):
+        bi = pl.program_id(0)
+        si = pl.program_id(1)
+
+        @pl.when(si == 0)
+        def _():
+            df_ref[...] = jnp.zeros_like(df_ref)
+
+        yb = yb_ref[bi, si] * 8
+        xb = xb_ref[bi, si]
+        wyf = wy_ref[0, 0].astype(jnp.float32)  # [T, Ry]
+        wxc_all = wx_ref[0, 0].astype(jnp.float32)[:, :, None]  # [T, Rx, 1]
+        dc = dc_ref[0, 0].astype(jnp.float32)  # [T, c]
+        dwy_acc = jnp.zeros((t, ry), jnp.float32)
+        dwx_parts = []
+        for ci in range(n_ch):
+            k = min(rx_chunk, rx - ci * rx_chunk)
+            sl = pl.ds((xb + ci * rx_chunk) * c, k * c)
+            f_win = f_ref[0, pl.ds(yb, ry), sl].astype(jnp.float32)
+            g = jnp.dot(wyf, f_win,
+                        preferred_element_type=jnp.float32)  # [T, k*c]
+            dwx_parts.append(
+                jnp.sum(g.reshape(t, k, c) * dc[:, None, :], axis=2))
+            u = (wxc_all[:, ci * rx_chunk:ci * rx_chunk + k, :]
+                 * dc[:, None, :]).reshape(t, k * c)
+            dwy_acc = dwy_acc + jax.lax.dot_general(
+                u, f_win, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dfw = jax.lax.dot_general(
+                wyf, u, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [Ry, k*c]
+            df_ref[0, pl.ds(yb, ry), sl] = (
+                df_ref[0, pl.ds(yb, ry), sl] + dfw)
+        dwy_ref[0, 0] = dwy_acc.astype(dwy_ref.dtype)
+        dwx_ref[0, 0] = jnp.concatenate(dwx_parts, axis=1).astype(
+            dwx_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _win_bwd_call(feats, wy, wx, ybase, xbase, dcols, interpret):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = feats.shape
+    _, nt, t, ry = wy.shape
+    rx = wx.shape[3]
+    rx_chunk = min(rx, max(1, 2048 // c))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, h, w * c), lambda bi, si, yb, xb: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, t, ry),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, t, rx),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t, ry),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, t, rx),
+                         lambda bi, si, yb, xb: (bi, si, 0, 0)),
+            pl.BlockSpec((1, h, w * c), lambda bi, si, yb, xb: (bi, 0, 0)),
+        ],
+    )
+    dwy, dwx, df = pl.pallas_call(
+        _make_win_bwd_kernel(t, ry, rx, c, rx_chunk),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, nt, t, ry), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, t, rx), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w * c), jnp.float32),
+        ),
+        interpret=interpret,
+        # the f32 per-image d_map accumulator (16.8 MB at Pose2Seg's
+        # 128x128x256) lives in VMEM next to the resident source map
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(ybase // 8, xbase, feats.reshape(b, h, w * c), wy, wx, dcols)
+    return df.reshape(b, h, w, c), dwy, dwx
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret):
+    return _win_call(feats, wy, wx, ybase, xbase, interpret)
+
+
+def _dsw_fwd(feats, wy, wx, ybase, xbase, interpret):
+    return (_win_call(feats, wy, wx, ybase, xbase, interpret),
+            (feats, wy, wx, ybase, xbase))
+
+
+def _dsw_bwd(interpret, res, dcols):
+    import numpy as np
+
+    feats, wy, wx, ybase, xbase = res
+    df, dwy, dwx = _win_bwd_call(feats, wy, wx, ybase, xbase,
+                                 dcols.astype(jnp.float32), interpret)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (df.astype(feats.dtype), dwy.astype(wy.dtype),
+            dwx.astype(wx.dtype), zi(ybase), zi(xbase))
+
+
+_dcn_sample_windowed.defvjp(_dsw_fwd, _dsw_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret=False):
+    """Window-limited sampling: each tile of T samples contracts only an
+    ``[Ry, Rx*c]`` window of the feature map (its position announced ahead
+    of the grid step via scalar prefetch) instead of the full ``[h, w*c]``
+    map — the dense kernel's MXU/VPU work is ~w/Rx-fold redundant because a
+    bilinear hat has 2 nonzeros per axis. Samples whose support escapes
+    their tile's window must arrive with ZEROED hat rows (the caller
+    computes exact values for them separately — see
+    deform_conv._deform_out_windowed, sampling.sample_cols_windowed).
+
+    Differentiable: a custom VJP runs the transposed window kernel
+    (_make_win_bwd_kernel) — the gather-formulation backward it replaces
+    spent its time in XLA scatter-adds (measured ~280 ms of the YOLACT++
+    374 ms train step).
+
+    feats [B,h,w,c]; wy [B,nt,T,Ry]; wx [B,nt,T,Rx]; ybase/xbase [B,nt]
+    int32 window origins (ybase + Ry <= h, xbase + Rx <= w) -> [B,nt,T,c]
+    f32.
+    """
+    return _dcn_sample_windowed(feats, wy, wx, ybase, xbase, interpret)
 
 
 def hat_matrix(coords, extent, dtype=jnp.bfloat16):

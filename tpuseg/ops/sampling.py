@@ -636,6 +636,57 @@ def _cols_gather_flat(features, sy, sx):
         features.reshape(b, h * w, c).astype(jnp.float32), idx4, w4)
 
 
+@jax.custom_vjp
+def _cols_gather_scan(features, sy, sx):
+    """_cols_gather_flat with a memory-safe VJP: one whole-S ``jax.vjp``
+    materialises a [B, S, 4, c] broadcast temp (4.3 GB at Pose2Seg's
+    16x16x64x64x256 align), so the backward scans sample chunks,
+    recomputing per-chunk and accumulating d_features."""
+    return _cols_gather_flat(features, sy, sx)
+
+
+def _cgs_fwd(features, sy, sx):
+    return _cols_gather_flat(features, sy, sx), (features, sy, sx)
+
+
+def _cgs_bwd(res, dcols, chunk=4096):
+    features, sy, sx = res
+    b, h, w, c = features.shape
+    s = sy.shape[1]
+    f32 = jnp.float32
+    ff = features.reshape(b, h * w, c).astype(f32)
+    s_pad = -(-s // chunk) * chunk
+
+    def flat(a):
+        a = jnp.pad(a.astype(f32), ((0, 0), (0, s_pad - s)))
+        return a.reshape(b, -1, chunk).transpose(1, 0, 2)
+
+    dc = jnp.pad(dcols.astype(f32), ((0, 0), (0, s_pad - s), (0, 0)))
+    dc = dc.reshape(b, -1, chunk, c).transpose(1, 0, 2, 3)
+
+    def chunk_cols(ff_, syk, sxk):
+        idx4, w4 = _bilinear_corners_zeropad(syk, sxk, h, w)
+        return jax.vmap(_gather_weighted)(ff_, idx4, w4)
+
+    def step(df_acc, args):
+        syk, sxk, dck = args
+        dfk, dsyk, dsxk = jax.vjp(chunk_cols, ff, syk, sxk)[1](dck)
+        return df_acc + dfk, (dsyk, dsxk)
+
+    df, (dsy, dsx) = jax.lax.scan(
+        step, jnp.zeros_like(ff), (flat(sy), flat(sx), dc))
+
+    def unflat(a, ref):
+        a = a.transpose(1, 0, 2).reshape(b, s_pad)[:, :s]
+        return a.astype(ref.dtype)
+
+    return (df.reshape(features.shape).astype(features.dtype),
+            unflat(dsy, sy), unflat(dsx, sx))
+
+
+_cols_gather_scan.defvjp(_cgs_fwd, _cgs_bwd)
+
+
 def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret):
     from tpuseg.ops.pallas.dcn_pl import dcn_sample_windowed, hat_matrix
 
@@ -687,14 +738,13 @@ def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret):
         return jax.lax.cond(jnp.max(cnt) > 0, correct, lambda x: x, cols)
 
     def dense():
-        return _cols_gather_flat(
+        return _cols_gather_scan(
             features, syf.reshape(b, s), sxf.reshape(b, s)
         ).reshape(b, nt, t, c)
 
     return jax.lax.cond(jnp.max(cnt) <= eb, windowed, dense)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False):
     """Window-limited bilinear point sampling on the MXU.
 
@@ -706,60 +756,14 @@ def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False):
     tile's window get exact gather values scattered over the kernel's
     zeros, and a batch with more than ``esc_budget`` escapes falls back
     to the full gather formulation. Zero-padding border semantics
-    (torch grid_sample padding_mode='zeros'). Gradients flow through the
-    gather formulation (chunked scan). Returns [B,nt,T,c] f32.
+    (torch grid_sample padding_mode='zeros'). Differentiable throughout:
+    the window kernel carries a transposed-kernel VJP
+    (dcn_pl._make_win_bwd_kernel), the escape correction is plain
+    (small) autodiff, and the dense fallback scans sample chunks
+    (_cols_gather_scan). Returns [B,nt,T,c] f32.
     """
     return _sample_cols_windowed_impl(features, sy, sx, esc_budget,
                                       interpret)
-
-
-def _scs_fwd(features, sy, sx, esc_budget, interpret):
-    return (sample_cols_windowed(features, sy, sx, esc_budget, interpret),
-            (features, sy, sx))
-
-
-def _scs_bwd(esc_budget, interpret, res, dcols, chunk=4096):
-    """Chunked backward through the gather formulation: one whole-S
-    ``jax.vjp`` materialises a [B, S, 4, c] broadcast temp (4.3 GB at
-    Pose2Seg's 16x16x64x64x256 align), so the scan recomputes per-chunk
-    and accumulates d_features."""
-    features, sy, sx = res
-    b, h, w, c = features.shape
-    _, nt, t = sy.shape
-    s = nt * t
-    f32 = jnp.float32
-    ff = features.reshape(b, h * w, c).astype(f32)
-    s_pad = -(-s // chunk) * chunk
-
-    def flat(a):
-        a = jnp.pad(a.astype(f32).reshape(b, s), ((0, 0), (0, s_pad - s)))
-        return a.reshape(b, -1, chunk).transpose(1, 0, 2)
-
-    dc = jnp.pad(dcols.astype(f32).reshape(b, s, c),
-                 ((0, 0), (0, s_pad - s), (0, 0)))
-    dc = dc.reshape(b, -1, chunk, c).transpose(1, 0, 2, 3)
-
-    def chunk_cols(ff_, syk, sxk):
-        idx4, w4 = _bilinear_corners_zeropad(syk, sxk, h, w)
-        return jax.vmap(_gather_weighted)(ff_, idx4, w4)
-
-    def step(df_acc, args):
-        syk, sxk, dck = args
-        dfk, dsyk, dsxk = jax.vjp(chunk_cols, ff, syk, sxk)[1](dck)
-        return df_acc + dfk, (dsyk, dsxk)
-
-    df, (dsy, dsx) = jax.lax.scan(
-        step, jnp.zeros_like(ff), (flat(sy), flat(sx), dc))
-
-    def unflat(a, ref):
-        a = a.transpose(1, 0, 2).reshape(b, s_pad)[:, :s]
-        return a.reshape(ref.shape).astype(ref.dtype)
-
-    return (df.reshape(features.shape).astype(features.dtype),
-            unflat(dsy, sy), unflat(dsx, sx))
-
-
-sample_cols_windowed.defvjp(_scs_fwd, _scs_bwd)
 
 
 def _affine_align_eligible(h, w, c, out_size, itemsize):
