@@ -58,10 +58,8 @@ def main():
     print(f"backbone+FPN: {t*1e3:8.2f} ms")
 
     # stage 2: RPN head + proposals
-    na = len(cfg.anchor_ratios)
-
     def s_rpn(p, pyr, hw):
-        logits, deltas = M.rpn_head(p["rpn"], pyr, na)
+        logits, deltas = M.rpn_head(p["rpn"], pyr)
         anchors = [jnp.asarray(a) for a in M.make_anchors_np(cfg, ch, cw)]
         return M.rpn_proposals(logits, deltas, anchors, hw, cfg, (ch, cw))
 
@@ -72,7 +70,7 @@ def main():
 
     # stage 2b: RPN proposals decomposed — head only
     def s_rpn_head(p, pyr):
-        return M.rpn_head(p["rpn"], pyr, na)
+        return M.rpn_head(p["rpn"], pyr)
 
     t = timeit(jax.jit(s_rpn_head), (params, pyramid))
     print(f"  RPN convs only: {t*1e3:8.2f} ms")
@@ -94,7 +92,7 @@ def main():
 
     # stage 4: box head FCs
     def s_boxhead(p, pooled):
-        return M.box_head(p["box_head"], pooled, cfg)
+        return M.box_head(p["box_head"], pooled)
 
     jbh = jax.jit(s_boxhead)
     cls_logits, box_deltas = jbh(params, pooled)

@@ -36,6 +36,32 @@ def test_freeze():
     assert cfg.a == 2
 
 
+def test_freeze_guards_every_dict_mutator():
+    cfg = ConfigNode({"a": 1, "sub": {"b": 2}}).freeze()
+    with pytest.raises(AttributeError):
+        cfg["a"] = 2
+    with pytest.raises(AttributeError):
+        cfg |= {"a": 2}  # dict.__ior__ is C-level; needs its own guard
+    with pytest.raises(AttributeError):
+        cfg.sub |= {"b": 3}
+    with pytest.raises(AttributeError):
+        cfg.update({"a": 2})
+    with pytest.raises(AttributeError):
+        cfg.pop("a")
+    with pytest.raises(AttributeError):
+        cfg.popitem()
+    with pytest.raises(AttributeError):
+        cfg.clear()
+    with pytest.raises(AttributeError):
+        cfg.setdefault("new", 1)
+    with pytest.raises(AttributeError):
+        del cfg["a"]
+    assert cfg.a == 1 and cfg.sub.b == 2
+    cfg.defrost()
+    cfg |= {"a": 5}
+    assert cfg.a == 5
+
+
 def test_yolact_copy_chain():
     base = ConfigNode({"name": "base", "max_size": 550, "nested": {"x": 1}})
     child = base.copy({"name": "child", "nested": {"x": 2}})

@@ -20,7 +20,7 @@ def _make_jpeg_with_exif(path, orientation):
 
 
 def test_jpeg_exif_orientation_parser(tmp_path):
-    from tpuseg.data.native_loader import _jpeg_exif_orientation
+    from tpuseg.data.image_io import _jpeg_exif_orientation
 
     for o in (1, 3, 6, 8):
         p = tmp_path / f"o{o}.jpg"
@@ -37,7 +37,7 @@ def test_jpeg_exif_orientation_parser(tmp_path):
 def test_exif_parser_agrees_with_pil_when_available(tmp_path):
     PIL = pytest.importorskip("PIL.Image")
     cv2 = pytest.importorskip("cv2")
-    from tpuseg.data.native_loader import _jpeg_exif_orientation
+    from tpuseg.data.image_io import _jpeg_exif_orientation
 
     # real JPEG via cv2, then splice our EXIF APP1 after the SOI
     img = np.random.default_rng(0).integers(
@@ -111,3 +111,62 @@ def test_load_image_bgr_matches_rgb_flip(tmp_path, rng):
     rgb = load_image_rgb(p)
     np.testing.assert_array_equal(bgr, rgb[:, :, ::-1])
     np.testing.assert_array_equal(bgr, img)
+
+
+def _apply_exif_orientation(img, o):
+    """raw -> displayed frame, per the EXIF spec (what decoders apply)."""
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1]
+    if o == 5:
+        return img.transpose(1, 0, 2)
+    if o == 6:
+        return np.rot90(img, -1)  # rotate 90 CW
+    if o == 7:
+        return img[::-1, ::-1].transpose(1, 0, 2)
+    if o == 8:
+        return np.rot90(img, 1)  # rotate 90 CCW
+    return img
+
+
+def test_unrotate_inverts_every_exif_orientation(rng):
+    from tpuseg.data.image_io import _unrotate
+
+    img = rng.integers(0, 255, (6, 10, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        disp = _apply_exif_orientation(img, o)
+        np.testing.assert_array_equal(_unrotate(disp, o), img,
+                                      err_msg=f"orientation {o}")
+
+
+def test_unrotate_agrees_with_pil_exif_transpose(rng):
+    """PIL's exif_transpose is the raw->displayed reference; _unrotate must
+    be its exact inverse for every orientation."""
+    PIL = pytest.importorskip("PIL.Image")
+    from PIL import ImageOps
+
+    from tpuseg.data.image_io import _unrotate
+
+    raw = rng.integers(0, 255, (6, 10, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        im = PIL.fromarray(raw)
+        exif = im.getexif()
+        exif[0x0112] = o
+        im.info["exif"] = exif.tobytes()
+        disp = np.asarray(ImageOps.exif_transpose(im))
+        np.testing.assert_array_equal(_unrotate(disp, o), raw,
+                                      err_msg=f"orientation {o}")
+
+
+def test_cv2_autorotate_probe_runs():
+    """The probe must return a bool without raising; on builds that HAVE
+    IMREAD_IGNORE_ORIENTATION its value is not consulted, but the imread
+    round-trip it performs must still work."""
+    cv2 = pytest.importorskip("cv2")
+    from tpuseg.data import image_io
+
+    image_io._CV2_AUTOROTATES = None  # force a fresh probe
+    assert image_io._cv2_autorotates(cv2) in (True, False)

@@ -25,47 +25,6 @@ def _build_native() -> bool:
         return False
 
 
-def _jpeg_exif_orientation(path: str) -> int:
-    """EXIF Orientation (tag 0x0112) parsed straight from the JPEG APP1
-    segment's embedded TIFF header — PIL-free fallback. Returns 1 when the
-    file is not a JPEG, has no EXIF, or the header is malformed."""
-    try:
-        with open(path, "rb") as f:
-            if f.read(2) != b"\xff\xd8":  # SOI
-                return 1
-            while True:
-                marker = f.read(2)
-                if len(marker) < 2 or marker[0] != 0xFF:
-                    return 1
-                if marker[1] in (0xD8, 0x01) or 0xD0 <= marker[1] <= 0xD7:
-                    continue  # standalone markers, no length field
-                size = int.from_bytes(f.read(2), "big")
-                if marker[1] == 0xDA:  # SOS: image data, no EXIF past here
-                    return 1
-                body = f.read(size - 2)
-                if marker[1] != 0xE1 or not body.startswith(b"Exif\x00\x00"):
-                    continue
-                tiff = body[6:]
-                if len(tiff) < 8:
-                    return 1
-                endian = "little" if tiff[:2] == b"II" else "big"
-                off = int.from_bytes(tiff[4:8], endian)
-                if off + 2 > len(tiff):
-                    return 1
-                count = int.from_bytes(tiff[off:off + 2], endian)
-                for i in range(count):
-                    e = off + 2 + 12 * i
-                    if e + 12 > len(tiff):
-                        return 1
-                    tag = int.from_bytes(tiff[e:e + 2], endian)
-                    if tag == 0x0112:
-                        val = int.from_bytes(tiff[e + 8:e + 10], endian)
-                        return val if 1 <= val <= 8 else 1
-                return 1
-    except Exception:
-        return 1
-
-
 _lib = None
 
 

@@ -82,6 +82,13 @@ class ConfigNode(dict):
             self._guard_frozen()
         return super().setdefault(key, default)
 
+    def __ior__(self, other):  # type: ignore[override]
+        # ``cfg |= {...}``: dict.__ior__ is C-level and would bypass the
+        # guards above
+        self._guard_frozen()
+        super().update(other)
+        return self
+
     # -- copy/pickle protocol -------------------------------------------------
     # deepcopy/pickle must bypass the frozen guard: copy._reconstruct restores
     # the _frozen state before re-inserting dict items, which would raise.

@@ -49,26 +49,11 @@ def _win_geometry(h, w, kk, stride, dilation):
     by_max = (_RY - reach - 12) // stride + 1
     if bx_max < 1 or by_max < 1:
         return None
-    bx = min(bx_max, max(1, 128 // kk // 2 + 1))  # kk=9 -> 7
+    bx = min(bx_max, max(1, 64 // kk))  # kk=9 -> 7
     by = min(by_max, max(1, 128 // (bx * kk)))
     if by * bx * kk < 64:  # tile too small to feed the MXU
         return None
     return by, bx
-
-
-def _cols_gather(x, sy, sx, mask):
-    """Differentiable gather formulation of the sampling contraction
-    (zero-padding border): [B,h,w,c], [B,Ho,Wo,kk] coords/mask ->
-    [B,Ho,Wo,kk,c] f32. Also the backward rule for the windowed path."""
-    from tpuseg.ops.sampling import (_bilinear_corners_zeropad,
-                                     _gather_weighted)
-
-    b, h, w, cin = x.shape
-    idx4, w4 = _bilinear_corners_zeropad(
-        sy.astype(jnp.float32), sx.astype(jnp.float32), h, w)
-    cols = jax.vmap(_gather_weighted)(
-        x.reshape(b, h * w, cin).astype(jnp.float32), idx4, w4)
-    return cols * mask.astype(jnp.float32)[..., None]
 
 
 # _axis_window lives in ops.sampling (shared with sample_cols_windowed)

@@ -255,9 +255,14 @@ def _make_win_bwd_kernel(t, ry, rx, c, rx_chunk):
                                      sequentially, so overlapping windows
                                      accumulate without races)
 
-    Escaped samples arrive with zero wy rows AND zero dc rows (the escape
-    correction's ``.set`` cuts their cotangent), so every escaped
-    contribution here is exactly zero.
+    Escaped samples arrive with zero wy/wx rows — that alone zeroes their
+    d_win and d_wx contributions, and their in-kernel d_wy rows are killed
+    by the consumer's escape mask outside (``in_w``-masked in
+    ``deform_conv``/``sample_cols_windowed``). dc is NOT guaranteed zero
+    for escaped samples: only ``sample_cols_windowed``'s ``.set``
+    correction cuts the cotangent; ``_deform_out_windowed`` scatter-ADDs
+    its correction, so its escaped dc rows are real. Do not optimise
+    based on dc == 0.
     """
     n_ch = -(-rx // rx_chunk)
 
