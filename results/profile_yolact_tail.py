@@ -6,6 +6,13 @@ component costs: prior compaction + decode + softmax, Fast-NMS IoU
 matrices, global top-k, mask assembly (proto @ coeff + sigmoid + crop).
 Each stage jitted alone — relative map only (fused pipeline is faster
 than the sum).
+
+NOTE: the s_* stage functions below hand-expand models/yolact.py::detect
+(prior gate, softmax transpose, global topk, the compacted-slot ->
+prior_map -> coeff double indirection). detect() is the source of truth;
+main() asserts the recomposed stages reproduce Y.detect's outputs at
+startup so any drift in detect() fails the profile instead of silently
+mis-attributing time.
 """
 import time
 
@@ -130,8 +137,25 @@ def main():
         return jax.vmap(per_image)(proto, coeff, pidx, sel, ob)
 
     jm = jax.jit(s_mask)
+    masks = jm(proto, coeff, pidx_b, osel, ob)
     t = timeit(jm, (proto, coeff, pidx_b, osel, ob))
     print(f"  mask assembly (einsum+sigmoid+crop): {t*1e3:8.2f} ms")
+
+    # Drift guard: recomposed stages must reproduce Y.detect (the source
+    # of truth) on the same predictions, or the per-stage times above are
+    # mis-attributed.
+    ref = jax.jit(lambda pr: Y.detect(pr, priors, cfg))(preds)
+    vm = np.asarray(ov, bool)
+    for name, ours, theirs in [("boxes", ob, ref["boxes"]),
+                               ("scores", os_, ref["scores"]),
+                               ("classes", oc, ref["classes"]),
+                               ("masks", masks, ref["masks"])]:
+        a, b = np.asarray(ours, np.float32), np.asarray(theirs, np.float32)
+        a, b = a[vm], b[vm]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stage drift vs Y.detect: {name}")
+    np.testing.assert_array_equal(vm, np.asarray(ref["valid"], bool))
+    print("  drift guard: staged outputs == Y.detect outputs")
 
     print(f"  dtypes: proto={proto.dtype} coeff={coeff.dtype} "
           f"conf={conf.dtype} loc={loc.dtype}")
