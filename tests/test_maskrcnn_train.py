@@ -231,3 +231,25 @@ def test_c4_faster_rcnn_train_losses(rng):
         params, images, hw, targets, jax.random.PRNGKey(1), cfg, lcfg)
     assert "loss_mask" not in losses
     assert np.isfinite(float(losses["total"]))
+
+
+def test_positive_prefix_invariant(rng):
+    """The mask branch pools only the first roi_batch*pos_fraction sampled
+    slots (maskrcnn.py/maskrcnn_c4.py train paths, upstream
+    keep_only_positive_boxes semantics) — valid only because
+    balanced_sample's stable compaction puts every positive in that
+    prefix. Pin it across positive populations (under-, exactly-, and
+    over-subscribed vs the cap)."""
+    for n_pos in (3, 16, 40):
+        lab = np.concatenate(
+            [np.ones(n_pos), np.zeros(300), -np.ones(50)]).astype(np.int32)
+        lab = lab[np.random.default_rng(n_pos).permutation(lab.size)]
+        sel_idx, sel_pos, sel_valid = ML.balanced_sample(
+            jnp.asarray(lab), jax.random.PRNGKey(n_pos), 64, 0.25)
+        m = int(64 * 0.25)
+        sp = np.asarray(sel_pos & sel_valid)
+        assert not sp[m:].any(), f"positive beyond prefix (n_pos={n_pos})"
+        assert sp.sum() == min(n_pos, m)
+        # positives are contiguous from slot 0 (stable sort)
+        k = int(sp.sum())
+        assert sp[:k].all()

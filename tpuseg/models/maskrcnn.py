@@ -507,27 +507,39 @@ def forward_train_losses(
         cls_logits.astype(jnp.float32), box_deltas.astype(jnp.float32),
         flat_sample, loss_cfg))
 
-    # mask head on the sampled rois (skipped in the Faster R-CNN config)
+    # mask head on the POSITIVE sampled rois only (skipped in the Faster
+    # R-CNN config). Upstream ROIMaskHead trains on positives only
+    # (roi_heads/mask_head/mask_head.py::keep_only_positive_boxes);
+    # balanced_sample compacts positives into the first
+    # roi_batch_per_image * roi_pos_fraction slots, so a static prefix
+    # slice covers every positive — value-identical loss at 1/4 the
+    # pooling/conv work (the mask branch was 144 ms of the 318 ms bs=8
+    # train step on all 512 rois: results/profile_maskrcnn_train.py)
     if cfg.mask_on:
+        m = int(loss_cfg.roi_batch_per_image * loss_cfg.roi_pos_fraction)
+        mask_boxes = sample["boxes"][:, :m]
         mask_pooled = pooled_roi_features(
-            pyramid[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
+            pyramid[:4], mask_boxes.reshape(b * m, 4),
+            jnp.repeat(jnp.arange(b), m), cfg.mask_resolution,
             cfg.pooler_sampling_ratio)
+        flat_msample = {k_: v[:, :m].reshape((b * m,) + v.shape[2:])
+                        for k_, v in sample.items()}
         # gt-class channel only: the loss never reads the other
         # num_classes-1 channels (mask_head docstring)
         mask_x = mask_head(params["mask_head"], mask_pooled,
-                           class_sel=flat_sample["cls_target"])
+                           class_sel=flat_msample["cls_target"])
 
         def per_image_targets(rois, gt_idx, gb, crops):
             return ML.mask_targets_from_crops(
                 rois, gt_idx, gb, crops, cfg.mask_out)
 
         t28 = jax.vmap(per_image_targets)(
-            sample["boxes"], sample["gt_idx"], gt_boxes,
+            mask_boxes, sample["gt_idx"][:, :m], gt_boxes,
             targets["mask_crops"])
         losses.update(ML.mask_head_loss_selected(
             mask_x.astype(jnp.float32),
-            flat_sample,
-            t28.reshape(b * s, cfg.mask_out, cfg.mask_out),
+            flat_msample,
+            t28.reshape(b * m, cfg.mask_out, cfg.mask_out),
             loss_cfg))
     losses["total"] = sum(losses.values())
     return losses

@@ -284,29 +284,38 @@ def forward_train_losses(
 
     if cfg.mask_on:
         # shared extractor: deconv + class-selected 1x1 on the SAME res5
-        # features (loss only reads positives, so computing all S rois and
-        # masking in the loss is value-identical to upstream's
-        # positive-subset slice)
+        # features. The res5 features exist for all S rois (the box head
+        # needs them), but the mask predictor only ever contributes
+        # through positives, and balanced_sample compacts positives into
+        # the first roi_batch_per_image * roi_pos_fraction slots — so the
+        # deconv/einsum/targets run on that static prefix only, matching
+        # upstream's keep_only_positive_boxes subset (value-identical
+        # loss, 4x less mask-predictor work)
+        m = int(loss_cfg.roi_batch_per_image * loss_cfg.roi_pos_fraction)
+        mfeats = feats.reshape(b, s, *feats.shape[1:])[:, :m].reshape(
+            (b * m,) + feats.shape[1:])
+        flat_msample = {k_: v[:, :m].reshape((b * m,) + v.shape[2:])
+                        for k_, v in sample.items()}
         mx = L.relu(L.conv_transpose2d(
-            feats, params["mask_pred"]["conv5_mask"], stride=2))
-        cls_sel = flat_sample["cls_target"]  # 1-based fg labels (0 = bg)
+            mfeats, params["mask_pred"]["conv5_mask"], stride=2))
+        cls_sel = flat_msample["cls_target"]  # 1-based fg labels (0 = bg)
         w = params["mask_pred"]["mask_fcn_logits"]["weight"][0, 0]  # [C, nc]
         wsel = jnp.take(w, cls_sel, axis=1).T.astype(mx.dtype)
         bsel = params["mask_pred"]["mask_fcn_logits"]["bias"][cls_sel].astype(
             mx.dtype)
         mask_x = (jnp.einsum("nhwc,nc->nhw", mx, wsel)
-                  + bsel[:, None, None])  # [B*S, 14, 14]
+                  + bsel[:, None, None])  # [B*m, 14, 14]
 
         def per_image_targets(rois, gt_idx, gb, crops):
             return ML.mask_targets_from_crops(
                 rois, gt_idx, gb, crops, cfg.mask_out)
 
         t14 = jax.vmap(per_image_targets)(
-            sample["boxes"], sample["gt_idx"], gt_boxes,
+            sample["boxes"][:, :m], sample["gt_idx"][:, :m], gt_boxes,
             targets["mask_crops"])
         losses.update(ML.mask_head_loss_selected(
-            mask_x.astype(jnp.float32), flat_sample,
-            t14.reshape(b * s, cfg.mask_out, cfg.mask_out), loss_cfg))
+            mask_x.astype(jnp.float32), flat_msample,
+            t14.reshape(b * m, cfg.mask_out, cfg.mask_out), loss_cfg))
     losses["total"] = sum(losses.values())
     return losses
 

@@ -165,9 +165,11 @@ def rpn_loss(
             label = jnp.where(visible, label, -1)
         sel_idx, sel_pos, sel_valid = balanced_sample(
             label, k, cfg.rpn_batch_per_image, cfg.rpn_pos_fraction)
-        tgt = box_ops.encode_boxes(gtb[midx], anchors)
+        # encode targets for the 256 sampled anchors only (encoding all
+        # ~242k anchors per image was pure waste — the loss reads sel_idx)
+        tgt = box_ops.encode_boxes(gtb[midx[sel_idx]], anchors[sel_idx])
         # box loss over positives
-        l1 = smooth_l1(dl[sel_idx], tgt[sel_idx], beta=1.0 / 9).sum(-1)
+        l1 = smooth_l1(dl[sel_idx], tgt, beta=1.0 / 9).sum(-1)
         box_l = jnp.sum(jnp.where(sel_pos, l1, 0.0))
         # objectness BCE over sampled
         x = obj[sel_idx]
