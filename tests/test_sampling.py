@@ -396,3 +396,41 @@ def test_affine_align_eligibility_pose2seg_geometry():
     assert not S._affine_align_eligible(128, 128, 256, 64, 4)   # f32
     # odd channel counts can't keep the kernel's lane slices aligned
     assert not S._affine_align_eligible(128, 128, 311, 64, 2)
+
+
+def test_sample_cols_windowed_nondefault_window(rng):
+    """The window geometry is a parameter (ry/rx): non-default sizes must
+    stay exact vs the gather formulation, fwd and bwd. (affine_align's
+    tile-merge experiments that used these are reverted — both measured
+    no better than 8x8/32x32 on chip — but the generic plumbing stays.)"""
+    import jax
+
+    b, h, w, c = 2, 64, 64, 128
+    feat = jnp.asarray(
+        rng.standard_normal((b, h, w, c)).astype(np.float32))
+    # spatially coherent tiles (16x8 patches of a jittered lattice) so
+    # most samples stay in-window; some jitter past the slack -> escapes
+    base_y = rng.uniform(0, h - 18, (b, 6, 1))
+    base_x = rng.uniform(0, w - 10, (b, 6, 1))
+    dy = rng.uniform(-2, 20, (b, 6, 128))
+    dx = rng.uniform(-2, 10, (b, 6, 128))
+    sy = jnp.asarray((base_y + dy).astype(np.float32))
+    sx = jnp.asarray((base_x + dx).astype(np.float32))
+
+    for ry, rx in ((48, 32), (32, 48), (48, 48)):
+        got = np.asarray(S.sample_cols_windowed(
+            feat, sy, sx, interpret=True, ry=ry, rx=rx))
+        want = np.asarray(S._cols_gather_flat(
+            feat, sy.reshape(b, -1), sx.reshape(b, -1))).reshape(got.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"ry={ry} rx={rx}")
+
+    cot = jnp.asarray(rng.standard_normal(
+        (b, 6, 128, c)).astype(np.float32))
+    g_win = jax.grad(lambda f: jnp.sum(S.sample_cols_windowed(
+        f, sy, sx, interpret=True, ry=48, rx=48) * cot))(feat)
+    g_ref = jax.grad(lambda f: jnp.sum(S._cols_gather_flat(
+        f, sy.reshape(b, -1), sx.reshape(b, -1))
+        * cot.reshape(b, -1, c)))(feat)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)

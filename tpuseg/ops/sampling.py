@@ -687,13 +687,13 @@ def _cgs_bwd(res, dcols, chunk=4096):
 _cols_gather_scan.defvjp(_cgs_fwd, _cgs_bwd)
 
 
-def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret):
+def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret,
+                               ry, rx):
     from tpuseg.ops.pallas.dcn_pl import dcn_sample_windowed, hat_matrix
 
     b, h, w, c = features.shape
     _, nt, t = sy.shape
     s = nt * t
-    ry, rx = _WIN_RY, _WIN_RX
     # x window origins must keep the kernel's lane-slice offset (xb*c)
     # 128-aligned
     ax = 128 // int(np.gcd(c, 128))
@@ -745,25 +745,30 @@ def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret):
     return jax.lax.cond(jnp.max(cnt) <= eb, windowed, dense)
 
 
-def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False):
+def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False,
+                         ry=_WIN_RY, rx=_WIN_RX):
     """Window-limited bilinear point sampling on the MXU.
 
     features [B,h,w,c]; sy/sx [B,nt,T] pixel coords, pre-tiled so each
     tile's T samples are spatially coherent (the caller's job — e.g.
     8x8 output blocks of an affine crop). Each tile contracts only a
-    [_WIN_RY, _WIN_RX*c] window of the map (Pallas kernel, map
-    VMEM-resident per image); samples whose 2x2 support escapes their
-    tile's window get exact gather values scattered over the kernel's
-    zeros, and a batch with more than ``esc_budget`` escapes falls back
-    to the full gather formulation. Zero-padding border semantics
-    (torch grid_sample padding_mode='zeros'). Differentiable throughout:
-    the window kernel carries a transposed-kernel VJP
-    (dcn_pl._make_win_bwd_kernel), the escape correction is plain
-    (small) autodiff, and the dense fallback scans sample chunks
-    (_cols_gather_scan). Returns [B,nt,T,c] f32.
+    [ry, rx*c] window of the map (Pallas kernel, map VMEM-resident per
+    image); samples whose 2x2 support escapes their tile's window get
+    exact gather values scattered over the kernel's zeros, and a batch
+    with more than ``esc_budget`` escapes falls back to the full gather
+    formulation. Zero-padding border semantics (torch grid_sample
+    padding_mode='zeros'). Differentiable throughout: the window kernel
+    carries a transposed-kernel VJP (dcn_pl._make_win_bwd_kernel), the
+    escape correction is plain (small) autodiff, and the dense fallback
+    scans sample chunks (_cols_gather_scan). Returns [B,nt,T,c] f32.
+
+    ``ry``/``rx`` size the window: callers tiling wider output blocks
+    (T=128 instead of 64) should widen rx to keep the same per-output
+    scale slack — the matmul M-dim fills and total MACs still drop
+    (affine_align's 8x16 tiling: 2x MXU fill at 0.75x the MACs).
     """
     return _sample_cols_windowed_impl(features, sy, sx, esc_budget,
-                                      interpret)
+                                      interpret, ry, rx)
 
 
 def _affine_align_eligible(h, w, c, out_size, itemsize):
@@ -811,10 +816,18 @@ def affine_align(
         else:
             x = ((gx + 1.0) * w - 1.0) * 0.5
             y = ((gy + 1.0) * h - 1.0) * 0.5
-        by = bx = 8
         o = out_size
+        # 8x8 output blocks with the default 32x32 window. Two measured
+        # negative results on chip (round 5, Pose2Seg bs=16 geometry) so
+        # tile-merging is not retried: (a) 8x16 blocks + rx=48 (2x MXU
+        # M-fill, 1.5x MACs): 130 -> 106 img/s — the per-sample VPU
+        # x-reduction scales with Rx and dominates; (b) 16x8 blocks +
+        # ry=48 (2x M-fill, 1.5x MXU MACs, VPU unchanged): 128.4 ~
+        # neutral — the kernel is VPU/DMA-bound, not MXU-bound, so
+        # filling the matmul M-dim buys nothing.
+        by, bx, ry = 8, 8, _WIN_RY
 
-        def tile(a):  # [B, N, O, O] -> [B, N*(O/8)^2, 64]
+        def tile(a):  # [B, N, O, O] -> [B, N*(O/by)*(O/bx), by*bx]
             a = a.reshape(b, n, o // by, by, o // bx, bx)
             return a.transpose(0, 1, 2, 4, 3, 5).reshape(
                 b, n * (o // by) * (o // bx), by * bx)
@@ -822,7 +835,7 @@ def affine_align(
         interp = (pallas_pkg.pallas_interpret()
                   or jax.default_backend() != "tpu")
         cols = sample_cols_windowed(features, tile(y), tile(x),
-                                    interpret=interp)
+                                    interpret=interp, ry=ry)
         cols = cols.reshape(b, n, o // by, o // bx, by, bx, c)
         out = cols.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, n, o, o, c)
         return out.astype(features.dtype)
