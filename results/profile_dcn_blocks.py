@@ -87,3 +87,17 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# Round-5 measurement (bs=16, real chip, readback-synced):
+#   stage2 s2 c128: fwd 13.0 / fwd+bwd 42.0 ms   (x1)
+#   stage2 s1 c128: fwd 12.2 / fwd+bwd 36.6 ms   (x3)
+#   stage3 s2 c256: fwd 12.0 / fwd+bwd 21.8 ms   (x1)
+#   stage3 s1 c256: fwd 10.9 / fwd+bwd 20.0 ms   (x5)
+#   stage4 s2 c512: fwd  8.0 / fwd+bwd 17.1 ms   (x1)
+#   stage4 s1 c512: fwd 12.2 / fwd+bwd  8.8 ms   (x2)  <- fwd > fwd+bwd!
+# CAVEAT: standalone-jitted single-block calls through the axon tunnel are
+# dominated by per-dispatch/readback overhead (the stage4 inversion, and a
+# 149 ms fwd "sum" vs the 113 ms FULL ++ pipeline at the same batch).
+# Only fwd-vs-fwd+bwd DELTAS on the big blocks carry signal; use
+# slope-timing (vary block count in one program) for real per-block cost
+# (ARCHITECTURE.md "tunnel micro-timing").
