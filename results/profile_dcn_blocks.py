@@ -38,7 +38,7 @@ def timeit(fn, args, iters=10, warm=3):
     return (time.perf_counter() - t0) / iters
 
 
-# (name, H_in, W_in, C, stride, n_blocks_with_this_geometry)
+# (name, H_in (= W_in, square), C, stride, n_blocks_with_this_geometry)
 GEOMS = [
     ("stage2 s2 138->69 c128", 138, 128, 2, 1),
     ("stage2 s1  69x69 c128", 69, 128, 1, 3),

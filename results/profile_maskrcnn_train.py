@@ -185,33 +185,42 @@ def main():
     print(f"box branch fwd+bwd (RoIAlign-7 + 2FC + loss): {t*1e3:8.1f} ms")
 
     # ---- mask branch fwd+bwd ---------------------------------------------
+    # Profiles the SHIPPED positive-prefix branch (maskrcnn.py runs the
+    # mask head on the first m = roi_batch*pos_fraction sampled slots).
+    # The pre-round-5 all-512-rois variant measured 144 ms here — the
+    # finding that motivated the prefix slice (25.1 -> 40.6 img/s).
+    m = int(lcfg.roi_batch_per_image * lcfg.roi_pos_fraction)
+    mask_boxes = sample["boxes"][:, :m]
+    flat_msample = {k_: v[:, :m].reshape((batch * m,) + v.shape[2:])
+                    for k_, v in sample.items()}
     t28 = jax.vmap(lambda rois, gt_idx, gb, crops: ML.mask_targets_from_crops(
         rois, gt_idx, gb, crops, cfg.mask_out))(
-        sample["boxes"], sample["gt_idx"], targets["boxes"],
+        mask_boxes, sample["gt_idx"][:, :m], targets["boxes"],
         targets["mask_crops"])
 
     def mask_branch(p, pyr):
         mask_pooled = M.pooled_roi_features(
-            pyr[:4], flat_boxes, flat_bidx, cfg.mask_resolution,
+            pyr[:4], mask_boxes.reshape(batch * m, 4),
+            jnp.repeat(jnp.arange(batch), m), cfg.mask_resolution,
             cfg.pooler_sampling_ratio)
         mask_x = M.mask_head(cast_floats(p["mask_head"], jnp.bfloat16),
                              mask_pooled,
-                             class_sel=flat_sample["cls_target"])
+                             class_sel=flat_msample["cls_target"])
         ls = ML.mask_head_loss_selected(
-            mask_x.astype(jnp.float32), flat_sample,
-            t28.reshape(batch * s, cfg.mask_out, cfg.mask_out), lcfg)
+            mask_x.astype(jnp.float32), flat_msample,
+            t28.reshape(batch * m, cfg.mask_out, cfg.mask_out), lcfg)
         return ls["loss_mask"]
 
     t = timeit(jax.jit(jax.grad(mask_branch, argnums=(0, 1))),
                (params, pyramid))
-    print(f"mask branch fwd+bwd (RoIAlign-14 + 4conv+deconv + loss): "
-          f"{t*1e3:8.1f} ms")
+    print(f"mask branch fwd+bwd (RoIAlign-14 + 4conv+deconv + loss, "
+          f"{m}-roi positive prefix): {t*1e3:8.1f} ms")
 
     # ---- mask target generation alone ------------------------------------
     jt = jax.jit(lambda: jax.vmap(
         lambda rois, gt_idx, gb, crops: ML.mask_targets_from_crops(
             rois, gt_idx, gb, crops, cfg.mask_out))(
-        sample["boxes"], sample["gt_idx"], targets["boxes"],
+        mask_boxes, sample["gt_idx"][:, :m], targets["boxes"],
         targets["mask_crops"]))
     t = timeit(jt, ())
     print(f"mask target generation (grouped-matmul crops): {t*1e3:8.1f} ms")

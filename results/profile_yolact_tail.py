@@ -146,6 +146,9 @@ def main():
     # mis-attributed.
     ref = jax.jit(lambda pr: Y.detect(pr, priors, cfg))(preds)
     vm = np.asarray(ov, bool)
+    # valid-mask equality FIRST: a validity drift would otherwise surface
+    # as (or hide behind) a confusing value mismatch in the masked checks
+    np.testing.assert_array_equal(vm, np.asarray(ref["valid"], bool))
     for name, ours, theirs in [("boxes", ob, ref["boxes"]),
                                ("scores", os_, ref["scores"]),
                                ("classes", oc, ref["classes"]),
@@ -154,7 +157,6 @@ def main():
         a, b = a[vm], b[vm]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
                                    err_msg=f"stage drift vs Y.detect: {name}")
-    np.testing.assert_array_equal(vm, np.asarray(ref["valid"], bool))
     print("  drift guard: staged outputs == Y.detect outputs")
 
     print(f"  dtypes: proto={proto.dtype} coeff={coeff.dtype} "

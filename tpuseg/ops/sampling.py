@@ -762,11 +762,20 @@ def sample_cols_windowed(features, sy, sx, esc_budget=4096, interpret=False,
     escape correction is plain (small) autodiff, and the dense fallback
     scans sample chunks (_cols_gather_scan). Returns [B,nt,T,c] f32.
 
-    ``ry``/``rx`` size the window: callers tiling wider output blocks
-    (T=128 instead of 64) should widen rx to keep the same per-output
-    scale slack — the matmul M-dim fills and total MACs still drop
-    (affine_align's 8x16 tiling: 2x MXU fill at 0.75x the MACs).
+    ``ry``/``rx`` size the window. Caution before tuning them: tile
+    merges that grow the window were BOTH measured losers on chip (see
+    affine_align) — rx scales the per-sample VPU x-reduction (8x16
+    blocks + rx=48: 1.5x MACs, Pose2Seg 130 -> 106 img/s) and ry-only
+    growth is neutral because the kernel is VPU/DMA-bound, not
+    MXU-bound.
     """
+    w = features.shape[2]
+    if rx > w:
+        # the y axis is padded so ry > h is legal; x is not — the kernel
+        # lane-slices [xb*c, rx*c) out of a w*c-wide block
+        raise ValueError(
+            f"rx={rx} exceeds the feature map width {w}: the kernel "
+            "would lane-slice past the map block")
     return _sample_cols_windowed_impl(features, sy, sx, esc_budget,
                                       interpret, ry, rx)
 
