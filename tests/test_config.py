@@ -134,3 +134,21 @@ def test_cocodemo_c4_dispatch(tmp_path):
     demo = COCODemo(cfg, min_image_size=800, confidence_threshold=0.5)
     assert demo.predictor.variant == "c4"
     assert demo.predictor.min_image_size == 800
+
+
+def test_frozen_pop_with_default_on_missing_key_is_a_read():
+    from tpuseg.engine.config import ConfigNode
+
+    cfg = ConfigNode({"A": 1})
+    cfg.freeze()
+    assert cfg.pop("ABSENT", None) is None  # non-mutating form: allowed
+    assert cfg.pop("ABSENT", 7) == 7
+    import pytest
+    with pytest.raises(AttributeError):
+        cfg.pop("A", None)  # would actually remove -> guarded
+    with pytest.raises(AttributeError):
+        cfg.pop("A")
+    with pytest.raises(AttributeError):
+        cfg.pop("ABSENT")  # no default: dict.pop would raise KeyError,
+        # but the guard fires first (consistent with other mutators)
+    assert cfg["A"] == 1

@@ -113,3 +113,91 @@ def test_yolov3_edge_centered_gt_offset():
     assert abs(txywh[idx, 0] - (416.0 / stride - (w - 1))) < 1e-5
     assert abs(txywh[idx, 1] - (416.0 / stride - (h - 1))) < 1e-5
     assert txywh[idx, 0] >= 1.0  # the clamped-cell offset, not 0.0
+
+
+def test_yolact_claim_compaction_equivalence():
+    """match_priors' iterative claiming now runs on a per-gt top-G
+    compaction of the [G, N] overlap matrix. Exactness argument: at most
+    G-1 priors are excluded before a gt claims, so every round's winner is
+    inside the gt's own G best priors. Pin equivalence against the
+    original full-matrix loop on adversarial cases: many gts sharing one
+    best prior, exact overlap ties, crowds, and padded gts."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.core import boxes as box_ops
+    from tpuseg.models import yolact_loss as YL
+
+    def match_reference(gt_boxes, gt_classes, gt_crowd, priors, cfg):
+        # the pre-round-5 full-matrix claiming, verbatim
+        n = priors.shape[0]
+        priors_xyxy = box_ops.cxcywh_to_xyxy(priors)
+        valid_gt = (gt_classes >= 0) & ~gt_crowd
+        overlaps = box_ops.iou_matrix(gt_boxes, priors_xyxy)
+        overlaps = jnp.where(valid_gt[:, None], overlaps, -1.0)
+        bto = jnp.max(overlaps, axis=0)
+        bti = jnp.argmax(overlaps, axis=0)
+        g = gt_boxes.shape[0]
+
+        def claim(_, state):
+            ov, bto, bti = state
+            per_gt_best = jnp.max(ov, axis=1)
+            j = jnp.argmax(per_gt_best)
+            i = jnp.argmax(ov[j])
+            ok = per_gt_best[j] >= 0.0
+            ov = jnp.where(ok, ov.at[:, i].set(-1.0).at[j, :].set(-1.0), ov)
+            bto = jnp.where(ok, bto.at[i].set(2.0), bto)
+            bti = jnp.where(ok, bti.at[i].set(j), bti)
+            return ov, bto, bti
+
+        _, bto, bti = jax.lax.fori_loop(0, g, claim, (overlaps, bto, bti))
+        conf = gt_classes[bti] + 1
+        conf = jnp.where(bto < cfg.pos_thresh, -1, conf)
+        conf = jnp.where(bto < cfg.neg_thresh, 0, conf)
+        crowd_valid = (gt_classes >= 0) & gt_crowd
+        crowd_iof = box_ops.iof_matrix(priors_xyxy, gt_boxes)
+        crowd_iof = jnp.where(crowd_valid[None, :], crowd_iof, 0.0)
+        crowd_hit = jnp.max(crowd_iof, axis=1) > cfg.crowd_iou_threshold
+        conf = jnp.where((conf <= 0) & crowd_hit, -1, conf)
+        matched = gt_boxes[bti]
+        loc_t = box_ops.ssd_encode(matched, priors)
+        return conf, bti, loc_t
+
+    cfg = YL.YolactLossConfig()
+    rng = np.random.default_rng(7)
+    n, g = 600, 12
+    cxy = rng.uniform(0.1, 0.9, (n, 2))
+    wh = rng.uniform(0.05, 0.4, (n, 2))
+    priors = jnp.asarray(np.concatenate([cxy, wh], -1).astype(np.float32))
+
+    cases = []
+    # case 1: every gt identical -> all share one best prior (pure ties)
+    b = np.tile(np.asarray([[0.2, 0.2, 0.6, 0.6]], np.float32), (g, 1))
+    cases.append((b, np.full(g, 3, np.int32), np.zeros(g, bool)))
+    # case 2: random gts, half padded, two crowds
+    xy = rng.uniform(0, 0.5, (g, 2)).astype(np.float32)
+    wh2 = rng.uniform(0.1, 0.5, (g, 2)).astype(np.float32)
+    b = np.concatenate([xy, xy + wh2], -1)
+    cls = rng.integers(0, 10, g).astype(np.int32)
+    cls[g // 2:] = -1
+    crowd = np.zeros(g, bool)
+    crowd[1] = crowd[3] = True
+    cases.append((b, cls, crowd))
+    # case 3: clusters of near-identical gts (claiming must spread them)
+    base = rng.uniform(0.1, 0.5, (3, 2)).astype(np.float32)
+    b = np.concatenate([np.repeat(base, 4, 0),
+                        np.repeat(base, 4, 0) + 0.3], -1)
+    cases.append((b, np.arange(g, dtype=np.int32) % 5, np.zeros(g, bool)))
+
+    for bi, (b, cls, crowd) in enumerate(cases):
+        args = (jnp.asarray(b), jnp.asarray(cls), jnp.asarray(crowd),
+                priors, cfg)
+        conf_n, idx_n, loc_n = YL.match_priors(*args)
+        conf_o, idx_o, loc_o = match_reference(*args)
+        np.testing.assert_array_equal(np.asarray(conf_n), np.asarray(conf_o),
+                                      err_msg=f"conf case {bi}")
+        np.testing.assert_array_equal(np.asarray(idx_n), np.asarray(idx_o),
+                                      err_msg=f"idx case {bi}")
+        np.testing.assert_allclose(np.asarray(loc_n), np.asarray(loc_o),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"loc case {bi}")

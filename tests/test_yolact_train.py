@@ -110,3 +110,28 @@ def test_dp_sharded_train_step():
     # params stay replicated (gradient all-reduce happened inside jit)
     shard0 = jax.tree.leaves(params2)[0]
     assert len(shard0.sharding.device_set) == 8
+
+
+def test_plus_init_has_dcn_conv2_bias():
+    """Upstream DCNv2 modules carry a (zero-init, trained) conv bias;
+    plain bottleneck conv2 has none. A from-scratch ++ checkpoint saved
+    to .pth must contain backbone conv2.bias keys for every deformable
+    block or upstream's strict load_state_dict rejects it."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.configs.presets import yolact_model_config
+    from tpuseg.engine.config import get_config
+    from tpuseg.models import yolact as Y
+    from tpuseg.weights.yolact_map import to_torch_state
+
+    cfg = yolact_model_config(get_config("yolact_plus_resnet50_config"))
+    params = Y.init_params(jax.random.PRNGKey(0), cfg)
+    flat = to_torch_state(params, cfg)
+    bias_keys = [k for k in flat if k.endswith(".conv2.bias")]
+    off_keys = [k for k in flat if "conv_offset_mask.weight" in k]
+    assert len(off_keys) == 13  # R50 ++ = every block of stages 2-4
+    assert len(bias_keys) == len(off_keys), (
+        f"{len(bias_keys)} conv2.bias vs {len(off_keys)} deformable blocks")
+    for k in bias_keys:
+        assert not np.asarray(flat[k]).any()  # zero-init like upstream

@@ -66,7 +66,11 @@ class ConfigNode(dict):
         super().update(*args, **kwargs)
 
     def pop(self, *args):  # type: ignore[override]
-        self._guard_frozen()
+        # pop(missing_key, default) mutates nothing — guard only when the
+        # pop would actually remove an entry (mirrors setdefault's
+        # read-path exemption)
+        if not args or args[0] in self or len(args) < 2:
+            self._guard_frozen()
         return super().pop(*args)
 
     def popitem(self):  # type: ignore[override]

@@ -65,33 +65,47 @@ def match_priors(
     # reference's ITERATIVE claiming (box_utils.match): each round the
     # globally-best (gt, prior) pair is claimed and that prior/gt excluded,
     # so two gts sharing a best prior end up with DISTINCT forced priors
-    # (a one-shot argmax scatter would collapse them onto one)
+    # (a one-shot argmax scatter would collapse them onto one).
+    # The loop runs on a per-gt top-G COMPACTION of the overlap matrix:
+    # at most G-1 priors are ever excluded before a gt claims, so each
+    # gt's winner is always within its own G best priors — exact, and the
+    # G sequential rounds update [G, G] instead of [G, N=19248] (the
+    # full-matrix loop was 9.7 ms of the 56.8 ms YOLACT train step,
+    # results/profile_yolact_train.py). top_k ties break index-ascending,
+    # matching the full-row argmax's first-max-wins.
     g = gt_boxes.shape[0]
+    k = min(g, n)
+    cand_val, cand_idx = jax.lax.top_k(overlaps, k)  # [G, k]
 
     def claim(_, state):
-        ov, bto, bti = state
-        per_gt_best = jnp.max(ov, axis=1)  # [G]
+        cv, bto, bti = state
+        per_gt_best = jnp.max(cv, axis=1)  # [G]
         j = jnp.argmax(per_gt_best)
-        i = jnp.argmax(ov[j])
+        i = cand_idx[j, jnp.argmax(cv[j])]
         ok = per_gt_best[j] >= 0.0  # active, valid gt remains
-        ov = jnp.where(ok, ov.at[:, i].set(-1.0).at[j, :].set(-1.0), ov)
+        cv = jnp.where(
+            ok, jnp.where(cand_idx == i, -1.0, cv).at[j, :].set(-1.0), cv)
         bto = jnp.where(ok, bto.at[i].set(2.0), bto)
         bti = jnp.where(ok, bti.at[i].set(j), bti)
-        return ov, bto, bti
+        return cv, bto, bti
 
     _, best_truth_overlap, best_truth_idx = jax.lax.fori_loop(
-        0, g, claim, (overlaps, best_truth_overlap, best_truth_idx))
+        0, g, claim, (cand_val, best_truth_overlap, best_truth_idx))
 
     conf = gt_classes[best_truth_idx] + 1
     conf = jnp.where(best_truth_overlap < cfg.pos_thresh, -1, conf)  # neutral
     conf = jnp.where(best_truth_overlap < cfg.neg_thresh, 0, conf)  # bg
 
-    # crowd neutralization: negative priors overlapping a crowd gt
+    # crowd neutralization: negative priors overlapping a crowd gt.
+    # Computed [G, N] (priors on lanes; a [N, G=16] layout runs on 16 of
+    # 128 lanes) — same values as iof_matrix(priors, gt) transposed.
     crowd_valid = (gt_classes >= 0) & gt_crowd
     if gt_boxes.shape[0] > 0:
-        crowd_iof = box_ops.iof_matrix(priors_xyxy, gt_boxes)  # [N, G]
-        crowd_iof = jnp.where(crowd_valid[None, :], crowd_iof, 0.0)
-        crowd_hit = jnp.max(crowd_iof, axis=1) > cfg.crowd_iou_threshold
+        inter = box_ops.pairwise_intersection(gt_boxes, priors_xyxy)  # [G,N]
+        crowd_iof = inter / jnp.maximum(
+            box_ops.area(priors_xyxy)[None, :], 1e-9)
+        crowd_iof = jnp.where(crowd_valid[:, None], crowd_iof, 0.0)
+        crowd_hit = jnp.max(crowd_iof, axis=0) > cfg.crowd_iou_threshold
         conf = jnp.where((conf <= 0) & crowd_hit, -1, conf)
 
     matched = gt_boxes[best_truth_idx]

@@ -152,6 +152,11 @@ def init_params(key: jax.Array, cfg: ResNetConfig, dtype=jnp.float32) -> dict:
                 "weight": jnp.zeros((3, 3, mid, 27), dtype),
                 "bias": jnp.zeros((27,), dtype),
             }
+            # upstream DCNv2 modules carry a conv bias (zero-init, trained)
+            # unlike the bias-free plain bottleneck conv2 — without it a
+            # from-scratch ++ checkpoint saved to .pth is missing
+            # conv2.bias keys and fails upstream's strict load_state_dict
+            p["conv2"]["bias"] = jnp.zeros((mid,), dtype)
         if downsample:
             p["downsample"] = {
                 "conv": L.conv_params(next(keys), 1, 1, cin, cout, bias=False, dtype=dtype),
