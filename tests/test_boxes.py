@@ -75,3 +75,18 @@ def test_clip_and_nonempty():
     )
     mask = B.nonempty_mask(clipped)
     assert list(np.asarray(mask)) == [True, False]
+
+
+def test_iof_matrix_transpose_equivalence(rng):
+    a = np.abs(rng.standard_normal((7, 4)).astype(np.float32)) * 50
+    b = np.abs(rng.standard_normal((5, 4)).astype(np.float32)) * 50
+    a[:, 2:] += a[:, :2]
+    b[:, 2:] += b[:, :2]
+    import jax.numpy as jnp
+
+    from tpuseg.core import boxes as box_ops
+
+    plain = np.asarray(box_ops.iof_matrix(jnp.asarray(a), jnp.asarray(b)))
+    trans = np.asarray(box_ops.iof_matrix(jnp.asarray(a), jnp.asarray(b),
+                                          transpose=True))
+    np.testing.assert_allclose(trans, plain.T, rtol=1e-6, atol=1e-6)

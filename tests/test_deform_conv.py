@@ -298,3 +298,28 @@ def test_deform_conv_windowed_grads_match_gather(rng):
     for a, bb, name in zip(g_win, g_ref, ("x", "offsets", "mask", "weight")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_deform_conv_windowed_c64_unaligned_width(rng):
+    """c % 128 != 0 exercises the derived x-origin alignment (ax = 2 for
+    c=64) and the width padding that keeps aligned windows covering the
+    rightmost columns (aligning max_base down instead would strand them
+    as always-escaping samples). Windowed onehot (interpret) must equal
+    the gather formulation, including samples at the right edge."""
+    b, h, w, cin = 1, 40, 37, 64
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    k = 3
+    kk = k * k
+    ho = wo = None
+    weight = jnp.asarray(
+        rng.standard_normal((k, k, cin, 32)).astype(np.float32) * 0.1)
+    ho, wo = h, w  # stride 1, padding 1
+    offsets = jnp.asarray(
+        rng.uniform(-1.5, 1.5, (b, ho, wo, 2 * kk)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.uniform(0.2, 1.0, (b, ho, wo, kk)).astype(np.float32))
+
+    got = deform_conv2d(x, offsets, mask, weight, method="onehot")
+    want = deform_conv2d(x, offsets, mask, weight, method="gather")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

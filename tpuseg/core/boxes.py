@@ -88,8 +88,15 @@ def iou_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9,
     return inter / jnp.maximum(union, eps)
 
 
-def iof_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9) -> jax.Array:
-    """Intersection over area of ``a`` (for crowd handling). -> [..., N, M]."""
+def iof_matrix(a: jax.Array, b: jax.Array, eps: float = 1e-9,
+               transpose: bool = False) -> jax.Array:
+    """Intersection over area of ``a`` (for crowd handling). -> [..., N, M];
+    ``transpose=True`` returns the same values as [..., M, N] — use it to
+    keep the larger side on lanes (a [19248, 16] layout runs on 16 of 128
+    TPU lanes; its [16, 19248] transpose fills them)."""
+    if transpose:
+        inter = pairwise_intersection(b, a)
+        return inter / jnp.maximum(area(a)[..., None, :], eps)
     inter = pairwise_intersection(a, b)
     return inter / jnp.maximum(area(a)[..., :, None], eps)
 

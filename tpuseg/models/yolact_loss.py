@@ -101,9 +101,8 @@ def match_priors(
     # 128 lanes) — same values as iof_matrix(priors, gt) transposed.
     crowd_valid = (gt_classes >= 0) & gt_crowd
     if gt_boxes.shape[0] > 0:
-        inter = box_ops.pairwise_intersection(gt_boxes, priors_xyxy)  # [G,N]
-        crowd_iof = inter / jnp.maximum(
-            box_ops.area(priors_xyxy)[None, :], 1e-9)
+        crowd_iof = box_ops.iof_matrix(priors_xyxy, gt_boxes,
+                                       transpose=True)  # [G, N]
         crowd_iof = jnp.where(crowd_valid[:, None], crowd_iof, 0.0)
         crowd_hit = jnp.max(crowd_iof, axis=0) > cfg.crowd_iou_threshold
         conf = jnp.where((conf <= 0) & crowd_hit, -1, conf)

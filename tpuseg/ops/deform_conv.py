@@ -103,14 +103,19 @@ def _deform_out_windowed(x, sy, sx, mask, weight, by, bx, interpret):
     # contribution (true hats there are zero; the has-support test keeps
     # using the real h)
     h_pad = ((h - _RY + 7) // 8) * 8 + _RY
-    xp = jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
-    ybase, in_y = _axis_window(syr, h, _RY, 8, max_base=h_pad - _RY)
     # x origins must keep the kernel's lane-slice offset (xb*c) 128-aligned
     # (cf. sampling._sample_cols_windowed_impl) — align=1 is only legal for
-    # c % 128 == 0, which the YOLACT++ stages happen to satisfy; derive it
+    # c % 128 == 0, which the YOLACT++ stages happen to satisfy; derive it.
+    # Like the y axis, the map is PADDED so an aligned origin can still
+    # cover the right edge (aligning max_base down instead would strand
+    # the last (w-_RX) % ax columns outside every window — always-escaping
+    # samples that can blow the correction budget); padded columns are
+    # zero = the zero-pad border contribution
     ax = 128 // int(np.gcd(cin, 128))
-    xbase, in_x = _axis_window(sxr, w, _RX, ax,
-                               max_base=(max(w - _RX, 0) // ax) * ax)
+    w_pad = ((max(w - _RX, 0) + ax - 1) // ax) * ax + _RX
+    xp = jnp.pad(x, ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
+    ybase, in_y = _axis_window(syr, h, _RY, 8, max_base=h_pad - _RY)
+    xbase, in_x = _axis_window(sxr, w, _RX, ax, max_base=w_pad - _RX)
     in_w = in_y & in_x
     esc_r = (~in_w) & (syr > -1.0) & (syr < h) & (sxr > -1.0) & (sxr < w)
     cnt = esc_r.reshape(b, nt * t).sum(-1)

@@ -697,15 +697,18 @@ def _sample_cols_windowed_impl(features, sy, sx, esc_budget, interpret,
     # x window origins must keep the kernel's lane-slice offset (xb*c)
     # 128-aligned
     ax = 128 // int(np.gcd(c, 128))
-    # pad the map's rows so an 8-ALIGNED y window origin can still cover
-    # the bottom: padded rows are zero = the zero-pad border contribution
+    # pad the map so ALIGNED window origins can still cover the bottom
+    # rows / rightmost columns (aligning the x max_base down instead would
+    # strand (w-rx) % ax columns outside every window as always-escaping
+    # samples); padded cells are zero = the zero-pad border contribution
     h_pad = ((max(h - ry, 0) + 7) // 8) * 8 + ry
-    fp = jnp.pad(features, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    w_pad = ((max(w - rx, 0) + ax - 1) // ax) * ax + rx
+    fp = jnp.pad(features,
+                 ((0, 0), (0, h_pad - h), (0, w_pad - w), (0, 0)))
     syf = sy.astype(jnp.float32)
     sxf = sx.astype(jnp.float32)
     ybase, in_y = _axis_window(syf, h, ry, 8, max_base=h_pad - ry)
-    xbase, in_x = _axis_window(sxf, w, rx, ax,
-                               max_base=(max(w - rx, 0) // ax) * ax)
+    xbase, in_x = _axis_window(sxf, w, rx, ax, max_base=w_pad - rx)
     in_w = in_y & in_x
     esc = (~in_w) & (syf > -1.0) & (syf < h) & (sxf > -1.0) & (sxf < w)
     cnt = esc.reshape(b, s).sum(-1)
